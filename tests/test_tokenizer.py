@@ -1,0 +1,102 @@
+"""Tokenizer unit tests, modeled on the reference C1 semantics (tuatara.cpp:25-117)."""
+
+import numpy as np
+import pytest
+
+from tuatara_tpu.tokenizer import (
+    REFERENCE_CHARSET,
+    STANDARD_CHARSET,
+    Tokenizer,
+)
+
+
+def onehot_dists(ids, vocab):
+    """[L] ids -> [L, C] fake softmax dists peaked at ids."""
+    L = len(ids)
+    d = np.full((L, vocab), 0.001, dtype=np.float32)
+    d[np.arange(L), ids] = 0.9
+    return d
+
+
+def test_vocab_layout():
+    tok = Tokenizer()
+    assert tok.eos_id == 0
+    assert tok.itos[0] == "]"
+    assert tok.itos[1] == "0"
+    assert tok.itos[-2] == "["
+    assert tok.itos[-1] == "P"
+    assert tok.vocab_size == 97  # EOS + 94 + BOS + PAD
+    assert tok.bos_id == 95
+    assert tok.pad_id == 96
+
+
+def test_reference_vocab_is_95_chars():
+    tok = Tokenizer(reference_charset=True)
+    assert tok.vocab_size == 98
+    # The duplicated backslash: ids 71 and 89 both decode to '\'
+    dup = [i for i, c in enumerate(tok.itos) if c == "\\"]
+    assert len(dup) == 2
+
+
+def test_charsets_agree_on_alphanumerics():
+    assert STANDARD_CHARSET[:62] == REFERENCE_CHARSET[:62]
+
+
+def test_decode_simple():
+    tok = Tokenizer()
+    # "Hi5" then EOS then garbage
+    ids = [tok.stoi["H"], tok.stoi["i"], tok.stoi["5"], tok.eos_id, tok.stoi["z"]]
+    dists = onehot_dists(ids, tok.vocab_size)[None]
+    assert tok.decode(dists) == ["Hi5"]
+
+
+def test_decode_reference_mode_keeps_post_eos():
+    """Reference filter() strips EOS ids but keeps later chars (tuatara.cpp:108-116)."""
+    tok = Tokenizer()
+    ids = [tok.stoi["a"], tok.eos_id, tok.stoi["b"]]
+    dists = onehot_dists(ids, tok.vocab_size)[None]
+    assert tok.decode(dists, mode="reference") == ["ab"]
+    assert tok.decode(dists, mode="truncate") == ["a"]
+
+
+def test_decode_raw():
+    tok = Tokenizer()
+    ids = [tok.stoi["a"], tok.eos_id, tok.stoi["b"]]
+    dists = onehot_dists(ids, tok.vocab_size)[None]
+    assert tok.decode(dists, raw=True) == ["a]b"]
+
+
+def test_punctuation_decode_standard_vs_reference():
+    """Every punctuation char after '&' shifts by one slot in reference mode."""
+    std = Tokenizer()
+    ref = Tokenizer(reference_charset=True)
+    # In the standard charset "'" is at charset index 68 -> vocab id 69.
+    vid = std.stoi["'"]
+    assert std.itos[vid] == "'"
+    # The same vocab id in the buggy table decodes to backslash.
+    assert ref.itos[vid] == "\\"
+
+
+def test_encode_roundtrip():
+    tok = Tokenizer()
+    ids, n = tok.encode("Hello,1", max_length=25)
+    assert ids.shape == (27,)
+    assert ids[0] == tok.bos_id
+    assert int(n) == 8  # 7 chars + EOS
+    # decode skipping BOS
+    assert tok.ids_to_text(ids[1:]) == "Hello,1"
+
+
+def test_encode_pads_and_truncates():
+    tok = Tokenizer()
+    ids, n = tok.encode("a" * 40, max_length=25)
+    assert ids.shape == (27,)
+    assert int(n) == 26
+    assert ids[-1] == tok.eos_id  # truncated label still EOS-terminated
+
+
+@pytest.mark.parametrize("mode", ["truncate", "reference"])
+def test_empty_prediction(mode):
+    tok = Tokenizer()
+    dists = onehot_dists([tok.eos_id] * 4, tok.vocab_size)[None]
+    assert tok.decode(dists, mode=mode) == [""]

@@ -1,0 +1,159 @@
+"""Configuration for the tuatara-tpu OCR engine.
+
+Every constant the reference hardcodes lives here, defaulting to the reference
+values because they are parity-critical (reference: tuatara.cpp:352-353 canvas
+size / mag ratio, tuatara.cpp:397-399 thresholds, tuatara.cpp:440 crop size,
+tuatara.cpp:148 min component area, tuatara.cpp:166 dilation iteration formula).
+
+Unlike the reference — which hardcodes these inline with a TODO admitting it
+("move these to a config struct", tuatara.cpp:396) — the whole engine is
+parameterized by a single frozen dataclass so a config is hashable and can be
+a static argument to jitted stage programs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class OcrConfig:
+    """Frozen, hashable engine configuration.
+
+    Defaults reproduce the reference pipeline's behavior (see module docstring
+    for citations). Fields that fix reference bugs are documented as such.
+    """
+
+    # ---- Detection preprocessing (reference: tuatara.cpp:352-353, 206-234) ----
+    canvas_size: int = 1024        # long-side cap for the detection canvas
+    mag_ratio: float = 1.0         # magnification before capping
+    size_multiple: int = 32        # pad H/W up to a multiple of this
+
+    # ---- Detection post-processing thresholds (reference: tuatara.cpp:397-399) ----
+    text_threshold: float = 0.7    # min peak region score to keep a component
+    link_threshold: float = 0.4    # affinity binarization threshold
+    low_text: float = 0.4          # region binarization threshold
+    min_component_area: int = 10   # drop components smaller than this (tuatara.cpp:148)
+
+    # CRAFT emits heatmaps at half the canvas resolution (tuatara.cpp:236-253
+    # rescales by ratio_net=2).
+    ratio_net: int = 2
+
+    # ---- Static shapes (TPU-first: everything padded/masked, compiled once) ----
+    max_boxes: int = 256           # fixed box budget per page; extras masked out
+    cc_max_iters: int = 64         # safety cap for connected-component label propagation
+
+    # ---- Recognition (reference: tuatara.cpp:440 crop 128x32) ----
+    rec_height: int = 32
+    rec_width: int = 128
+    max_label_length: int = 25     # PARSEQ decode budget (26 steps incl. EOS)
+
+    # ---- Recognition charset ----
+    # DELIBERATE FIX of reference quirk: the reference's charset literal
+    # (tuatara.cpp:32-34) contains a stray backslash between '&' and "'",
+    # mis-decoding all punctuation after '&'. We default to the standard
+    # 94-char PARSEQ charset; set `reference_charset=True` for bug-compatible
+    # decoding (alphanumerics are identical either way).
+    reference_charset: bool = False
+
+    # ---- Box fitting ----
+    # "axis" reproduces the reference's public output (axis-aligned min/max
+    # bbox, tuatara.cpp:256-274) and its axis-aligned crops (tuatara.cpp:416).
+    # "rotated" enables PCA-oriented rotated box fitting + perspective-warp
+    # rectified crops (an improvement over the reference; it fits rotated
+    # rects but then crops axis-aligned anyway — tuatara.cpp:416).
+    box_mode: str = "axis"
+
+    # Integer-arithmetic semantics of the reference's dilation radius formula
+    # `int(sqrt(size * min(w,h) / (w*h) * 2))` with C++ integer division
+    # (tuatara.cpp:166). "upstream" uses the CRAFT paper repo's float formula
+    # `int(sqrt(size * min(w,h) / (w*h)) * 2)`.
+    niter_mode: str = "reference"
+
+    # ---- Compute ----
+    # bfloat16 model compute keeps the MXU fed at 2x fp32 throughput; heatmap
+    # post-processing always runs fp32.
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+
+    # ---- Batching ----
+    page_batch: int = 1            # pages per detect() call
+    # Crop micro-batch for recognition; B*max_boxes crops are processed in
+    # fixed-size slabs so one compiled program serves any page density.
+    rec_batch: int = 256
+
+    @property
+    def heatmap_size(self) -> Tuple[int, int]:
+        s = self.canvas_size // self.ratio_net
+        return (s, s)
+
+    @property
+    def num_decode_steps(self) -> int:
+        return self.max_label_length + 1  # + EOS
+
+
+# Reference-default config singleton.
+DEFAULT_CONFIG = OcrConfig()
+
+
+@dataclasses.dataclass(frozen=True)
+class CraftConfig:
+    """CRAFT detector architecture hyperparameters.
+
+    The reference runs CRAFT as an opaque TorchScript artifact
+    (tuatara.cpp:333-336); this rebuild implements the architecture itself:
+    VGG16-BN backbone, U-Net-style skip decoder, 2-channel head emitting
+    region/affinity maps at half input resolution.
+    """
+
+    # VGG16-BN stage output channels.
+    stage_channels: Tuple[int, ...] = (64, 128, 256, 512, 512)
+    # conv6/conv7 ("fc" stage) channels.
+    fc_channels: int = 1024
+    # U-Net double-conv block (mid, out) channels per decoder level.
+    up_channels: Tuple[Tuple[int, int], ...] = (
+        (512, 256), (256, 128), (128, 64), (64, 32),
+    )
+    head_channels: Tuple[int, ...] = (32, 32, 16, 16)
+    num_classes: int = 2           # region + affinity
+    bn_eps: float = 1e-5
+
+
+@dataclasses.dataclass(frozen=True)
+class ParseqConfig:
+    """PARSEQ recognizer architecture hyperparameters (paper defaults).
+
+    The reference runs PARSEQ as an opaque TorchScript artifact
+    (tuatara.cpp:426-432); this rebuild implements the architecture: ViT-S
+    encoder over the 32x128 crop + a depth-1 permutation-LM cross-attention
+    decoder with autoregressive greedy decode and optional iterative
+    refinement.
+    """
+
+    img_size: Tuple[int, int] = (32, 128)
+    patch_size: Tuple[int, int] = (4, 8)
+    embed_dim: int = 384
+    enc_depth: int = 12
+    enc_heads: int = 6
+    enc_mlp_ratio: float = 4.0
+    dec_heads: int = 12
+    dec_mlp_ratio: float = 4.0
+    dec_depth: int = 1
+    max_label_length: int = 25
+    # 94 printable ASCII chars (standard PARSEQ charset); vocab adds EOS/BOS/PAD.
+    charset_size: int = 94
+    refine_iters: int = 1
+    dropout: float = 0.1
+    layer_norm_eps: float = 1e-6
+
+    @property
+    def num_tokens(self) -> int:
+        # [EOS] + charset + [BOS] + [PAD]
+        return self.charset_size + 3
+
+    @property
+    def seq_len(self) -> int:
+        h = self.img_size[0] // self.patch_size[0]
+        w = self.img_size[1] // self.patch_size[1]
+        return h * w
