@@ -1,0 +1,158 @@
+"""CRAFT text detector in functional JAX (NHWC).
+
+The reference loads CRAFT as an opaque TorchScript artifact
+(`craft_traced_torchscript_model.pt`, tuatara.cpp:333-336) and only consumes
+its output: a `[B, H/2, W/2, 2]` tensor whose channel 0 is the region ("text")
+score and channel 1 the affinity ("link") score (tuatara.cpp:382-394). This
+module implements the architecture itself — VGG16-BN backbone with U-Net-style
+skip decoder and a 2-channel head at half input resolution — so the engine is
+self-contained and weights can be converted from the public checkpoints.
+
+Architectural notes (matching the public CRAFT network so converted weights
+drop in):
+
+* The backbone slices end on a BatchNorm output *before* its ReLU; the next
+  slice applies that ReLU first. Skip connections therefore carry pre-ReLU BN
+  outputs. Slice boundaries: bn2_2 (128ch @ 1/2), bn3_2 (256 @ 1/4),
+  bn4_2 (512 @ 1/8), bn5_2 (512 @ 1/16).
+* conv5_3 and the final VGG maxpool are dropped; in their place a stride-1
+  3x3 maxpool, a dilated (rate-6) 3x3 conv to 1024 ("fc6") and a 1x1 conv to
+  1024 ("fc7"), with no BN/ReLU.
+* Decoder: at each level, concat(trunk, skip) -> double_conv
+  (1x1 conv + BN + ReLU, then 3x3 conv + BN + ReLU), bilinear-upsample
+  (half-pixel / align_corners=False semantics) to the next skip's size.
+* Head: 3x[3x3 conv+ReLU] -> 1x1 conv+ReLU -> 1x1 conv to 2 channels,
+  emitted NHWC.
+
+Everything is shape-static: the engine always feeds the padded
+`canvas_size x canvas_size` detection canvas, so XLA compiles exactly one
+program for the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tuatara_tpu.config import CraftConfig
+from tuatara_tpu.models import layers as L
+
+Params = Dict[str, Any]
+
+# (name, cin, cout) for every VGG conv in trunk order, with the pooling /
+# skip-capture schedule encoded by the slice lists below.
+_VGG_CONVS = [
+    ("conv1_1", 3, 64), ("conv1_2", 64, 64),
+    ("conv2_1", 64, 128), ("conv2_2", 128, 128),
+    ("conv3_1", 128, 256), ("conv3_2", 256, 256), ("conv3_3", 256, 256),
+    ("conv4_1", 256, 512), ("conv4_2", 512, 512), ("conv4_3", 512, 512),
+    ("conv5_1", 512, 512), ("conv5_2", 512, 512),
+]
+# Max-pool (stride 2) happens immediately before these convs.
+_POOL_BEFORE = {"conv2_1", "conv3_1", "conv4_1", "conv5_1"}
+# Skip features are captured at the BN output (pre-ReLU) of these convs.
+_SKIPS = {"conv2_2": "f2", "conv3_2": "f3", "conv4_2": "f4", "conv5_2": "f5"}
+
+
+def init_craft_params(key: jax.Array, cfg: CraftConfig = CraftConfig()) -> Params:
+    """Random-init parameter pytree (he-normal convs, identity BN stats)."""
+    keys = iter(jax.random.split(key, 64))
+    p: Params = {"vgg": {}, "fc": {}, "up": {}, "head": {}}
+    for name, cin, cout in _VGG_CONVS:
+        p["vgg"][name] = {
+            "conv": L.init_conv(next(keys), 3, 3, cin, cout),
+            "bn": L.init_batchnorm(cout),
+        }
+    p["fc"]["fc6"] = L.init_conv(next(keys), 3, 3, 512, cfg.fc_channels)
+    p["fc"]["fc7"] = L.init_conv(next(keys), 1, 1, cfg.fc_channels, cfg.fc_channels)
+
+    # Decoder double_conv blocks. Input channels: concat(trunk, skip).
+    in_chs = [cfg.fc_channels + 512, 256 + 512, 128 + 256, 64 + 128]
+    for i, ((mid, out), cin) in enumerate(zip(cfg.up_channels, in_chs), start=1):
+        k1, k2 = next(keys), next(keys)
+        p["up"][f"upconv{i}"] = {
+            "conv1": L.init_conv(k1, 1, 1, cin, mid),
+            "bn1": L.init_batchnorm(mid),
+            "conv2": L.init_conv(k2, 3, 3, mid, out),
+            "bn2": L.init_batchnorm(out),
+        }
+
+    hc = cfg.head_channels
+    p["head"]["conv1"] = L.init_conv(next(keys), 3, 3, cfg.up_channels[-1][1], hc[0])
+    p["head"]["conv2"] = L.init_conv(next(keys), 3, 3, hc[0], hc[1])
+    p["head"]["conv3"] = L.init_conv(next(keys), 3, 3, hc[1], hc[2])
+    p["head"]["conv4"] = L.init_conv(next(keys), 1, 1, hc[2], hc[3])
+    p["head"]["conv5"] = L.init_conv(next(keys), 1, 1, hc[3], cfg.num_classes)
+    return p
+
+
+def _upsample_to(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Bilinear upsample with half-pixel (align_corners=False) semantics."""
+    return jax.image.resize(
+        x.astype(jnp.float32), (x.shape[0], h, w, x.shape[3]), method="bilinear"
+    )
+
+
+def _double_conv(p: Params, x: jnp.ndarray, eps: float, dtype) -> jnp.ndarray:
+    x = jax.nn.relu(L.batchnorm(p["bn1"], L.conv2d(p["conv1"], x, compute_dtype=dtype), eps))
+    x = jax.nn.relu(L.batchnorm(p["bn2"], L.conv2d(p["conv2"], x, compute_dtype=dtype), eps))
+    return x
+
+
+def craft_forward(
+    params: Params,
+    x: jnp.ndarray,
+    cfg: CraftConfig = CraftConfig(),
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """CRAFT forward pass.
+
+    Args:
+      x: [B, H, W, 3] float image in [0, 1] (the reference feeds /255 only,
+         no mean/std normalization — tuatara.cpp:363-370).
+
+    Returns:
+      (scores, feature): scores [B, H/2, W/2, 2] fp32 (region, affinity),
+      feature [B, H/2, W/2, 32] — mirroring the reference model's output
+      tuple of which the pipeline consumes element 0 (tuatara.cpp:382-384).
+    """
+    eps = cfg.bn_eps
+    skips = {}
+    h = x
+    for name, _, _ in _VGG_CONVS:
+        if name in _POOL_BEFORE:
+            h = L.max_pool(h, 2, 2)
+        h = L.batchnorm(params["vgg"][name]["bn"],
+                        L.conv2d(params["vgg"][name]["conv"], h, compute_dtype=compute_dtype),
+                        eps)
+        if name in _SKIPS:
+            skips[_SKIPS[name]] = h  # pre-ReLU BN output
+        h = jax.nn.relu(h)
+
+    # fc stage: stride-1 3x3 maxpool, dilated fc6, 1x1 fc7 (no BN/ReLU).
+    h = L.max_pool(h, 3, 1, padding="SAME_LOWER")
+    h = L.conv2d(params["fc"]["fc6"], h, dilation=6, compute_dtype=compute_dtype)
+    h = L.conv2d(params["fc"]["fc7"], h, compute_dtype=compute_dtype)
+
+    # Decoder.
+    y = jnp.concatenate([h, skips["f5"]], axis=-1)
+    y = _double_conv(params["up"]["upconv1"], y, eps, compute_dtype)
+    y = _upsample_to(y, skips["f4"].shape[1], skips["f4"].shape[2])
+    y = jnp.concatenate([y, skips["f4"]], axis=-1)
+    y = _double_conv(params["up"]["upconv2"], y, eps, compute_dtype)
+    y = _upsample_to(y, skips["f3"].shape[1], skips["f3"].shape[2])
+    y = jnp.concatenate([y, skips["f3"]], axis=-1)
+    y = _double_conv(params["up"]["upconv3"], y, eps, compute_dtype)
+    y = _upsample_to(y, skips["f2"].shape[1], skips["f2"].shape[2])
+    y = jnp.concatenate([y, skips["f2"]], axis=-1)
+    feat = _double_conv(params["up"]["upconv4"], y, eps, compute_dtype)
+
+    hp = params["head"]
+    y = jax.nn.relu(L.conv2d(hp["conv1"], feat, compute_dtype=compute_dtype))
+    y = jax.nn.relu(L.conv2d(hp["conv2"], y, compute_dtype=compute_dtype))
+    y = jax.nn.relu(L.conv2d(hp["conv3"], y, compute_dtype=compute_dtype))
+    y = jax.nn.relu(L.conv2d(hp["conv4"], y, compute_dtype=compute_dtype))
+    y = L.conv2d(hp["conv5"], y, compute_dtype=compute_dtype)
+    return y.astype(jnp.float32), feat.astype(jnp.float32)

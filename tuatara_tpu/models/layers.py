@@ -1,0 +1,308 @@
+"""Functional neural-net primitives for tuatara-tpu models.
+
+Pure-functional layers over explicit parameter pytrees (nested dicts), NHWC
+activation layout and HWIO kernel layout — the TPU-native convention XLA tiles
+best onto the MXU. No framework module system: every layer is
+``f(params, x, ...) -> y`` so the whole model is a single traced program under
+`jax.jit`, trivially shardable with `jax.sharding`.
+
+The reference executes its models as opaque TorchScript via LibTorch
+(tuatara.cpp:333-336, 426-432); these primitives are the rebuild's equivalent
+of that runtime layer, with torch (CPU) used in tests only as a math oracle.
+
+Dtype policy: parameters are stored fp32; matmul/conv inputs are cast to a
+compute dtype (bfloat16 by default) with fp32 accumulation
+(`preferred_element_type`), which keeps the MXU at full rate without
+accumulating rounding error.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initializers
+# ---------------------------------------------------------------------------
+
+def he_normal_conv(key, kh, kw, cin, cout, dtype=jnp.float32):
+    fan_in = kh * kw * cin
+    std = math.sqrt(2.0 / fan_in)
+    return jax.random.normal(key, (kh, kw, cin, cout), dtype) * std
+
+
+def trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
+    return jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype) * std
+
+
+def xavier_uniform(key, shape, dtype=jnp.float32):
+    fan_in, fan_out = shape[0], shape[-1]
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+# ---------------------------------------------------------------------------
+# Convolution + BatchNorm
+# ---------------------------------------------------------------------------
+
+def init_conv(key, kh, kw, cin, cout, bias=True) -> Params:
+    p = {"w": he_normal_conv(key, kh, kw, cin, cout)}
+    if bias:
+        p["b"] = jnp.zeros((cout,), jnp.float32)
+    return p
+
+
+def conv2d(
+    params: Params,
+    x: jnp.ndarray,
+    stride: int = 1,
+    padding="SAME",
+    dilation: int = 1,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """NHWC conv with HWIO kernel; fp32 accumulation on the MXU."""
+    w = params["w"].astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        w,
+        window_strides=(stride, stride),
+        padding=padding,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        # "highest" keeps fp32 operands exact (no bf16 pass splitting); for
+        # bf16 operands the MXU rate is unchanged.
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+def init_batchnorm(c: int) -> Params:
+    return {
+        "scale": jnp.ones((c,), jnp.float32),
+        "bias": jnp.zeros((c,), jnp.float32),
+        "mean": jnp.zeros((c,), jnp.float32),
+        "var": jnp.ones((c,), jnp.float32),
+    }
+
+
+def batchnorm(params: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Inference-mode batchnorm using running statistics (fp32)."""
+    inv = jax.lax.rsqrt(params["var"] + eps)
+    return (x.astype(jnp.float32) - params["mean"]) * (inv * params["scale"]) + params["bias"]
+
+
+def batchnorm_train(
+    params: Params, x: jnp.ndarray, eps: float = 1e-5, momentum: float = 0.1
+) -> Tuple[jnp.ndarray, Params]:
+    """Training-mode batchnorm: batch statistics + updated running stats."""
+    x32 = x.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(x32, axis=axes)
+    var = jnp.var(x32, axis=axes)
+    inv = jax.lax.rsqrt(var + eps)
+    y = (x32 - mean) * (inv * params["scale"]) + params["bias"]
+    new = dict(params)
+    new["mean"] = (1 - momentum) * params["mean"] + momentum * mean
+    new["var"] = (1 - momentum) * params["var"] + momentum * var
+    return y, new
+
+
+def max_pool(x: jnp.ndarray, window: int, stride: int, padding="VALID") -> jnp.ndarray:
+    """NHWC max pooling."""
+    if padding == "SAME_LOWER":
+        # torch MaxPool2d(k,1,p) symmetric padding with -inf fill
+        pad = (window - 1) // 2
+        padding = [(0, 0), (pad, pad), (pad, pad), (0, 0)]
+    else:
+        padding = [(0, 0)] * 4 if padding == "VALID" else padding
+        if isinstance(padding, str):
+            raise ValueError(padding)
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=padding,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear / LayerNorm / MLP
+# ---------------------------------------------------------------------------
+
+def init_linear(key, cin, cout, bias=True, init=trunc_normal) -> Params:
+    p = {"w": init(key, (cin, cout))}
+    if bias:
+        p["b"] = jnp.zeros((cout,), jnp.float32)
+    return p
+
+
+def linear(params: Params, x: jnp.ndarray, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    y = jnp.dot(
+        x.astype(compute_dtype),
+        params["w"].astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+def init_layernorm(c: int) -> Params:
+    return {"scale": jnp.ones((c,), jnp.float32), "bias": jnp.zeros((c,), jnp.float32)}
+
+
+def layernorm(params: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return (x32 - mean) * jax.lax.rsqrt(var + eps) * params["scale"] + params["bias"]
+
+
+def init_mlp(key, dim: int, hidden: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {"fc1": init_linear(k1, dim, hidden), "fc2": init_linear(k2, hidden, dim)}
+
+
+def mlp(params: Params, x: jnp.ndarray, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    h = jax.nn.gelu(linear(params["fc1"], x, compute_dtype), approximate=False)
+    return linear(params["fc2"], h, compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Multi-head attention
+# ---------------------------------------------------------------------------
+
+def init_mha(key, dim: int, qkv_bias: bool = True) -> Params:
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    return {
+        "q": init_linear(kq, dim, dim, bias=qkv_bias, init=xavier_uniform),
+        "k": init_linear(kk, dim, dim, bias=qkv_bias, init=xavier_uniform),
+        "v": init_linear(kv, dim, dim, bias=qkv_bias, init=xavier_uniform),
+        "o": init_linear(ko, dim, dim, bias=True, init=xavier_uniform),
+    }
+
+
+def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    b, l, d = x.shape
+    return x.reshape(b, l, heads, d // heads).transpose(0, 2, 1, 3)  # [B,H,L,hd]
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, l, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * hd)
+
+
+def attention_core(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Scaled dot-product attention over [B,H,L,hd] tensors.
+
+    mask: broadcastable to [B,H,Lq,Lk]; True/1 = attend, False/0 = blocked.
+    """
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = (
+        jnp.einsum(
+            "bhqd,bhkd->bhqk",
+            q.astype(compute_dtype),
+            k.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        * scale
+    )
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        p.astype(compute_dtype),
+        v.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def mha(
+    params: Params,
+    xq: jnp.ndarray,
+    xkv: jnp.ndarray,
+    heads: int,
+    mask: Optional[jnp.ndarray] = None,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Multi-head attention; xq [B,Lq,D] attends over xkv [B,Lk,D]."""
+    q = _split_heads(linear(params["q"], xq, compute_dtype), heads)
+    k = _split_heads(linear(params["k"], xkv, compute_dtype), heads)
+    v = _split_heads(linear(params["v"], xkv, compute_dtype), heads)
+    if mask is not None and mask.ndim == 2:
+        mask = mask[None, None]
+    out = attention_core(q, k, v, mask, compute_dtype)
+    return linear(params["o"], _merge_heads(out), compute_dtype)
+
+
+def mha_kv(params: Params, xkv: jnp.ndarray, heads: int, compute_dtype=jnp.bfloat16):
+    """Precompute K/V heads for incremental decoding."""
+    k = _split_heads(linear(params["k"], xkv, compute_dtype), heads)
+    v = _split_heads(linear(params["v"], xkv, compute_dtype), heads)
+    return k, v
+
+
+def mha_with_kv(
+    params: Params,
+    xq: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    mask: Optional[jnp.ndarray] = None,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Attention with externally cached K/V ([B,H,Lk,hd])."""
+    q = _split_heads(linear(params["q"], xq, compute_dtype), heads)
+    if mask is not None and mask.ndim == 2:
+        mask = mask[None, None]
+    out = attention_core(q, k, v, mask, compute_dtype)
+    return linear(params["o"], _merge_heads(out), compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# ViT encoder block (pre-norm, timm-style — used by PARSEQ's encoder)
+# ---------------------------------------------------------------------------
+
+def init_vit_block(key, dim: int, mlp_ratio: float) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "norm1": init_layernorm(dim),
+        "attn": init_mha(k1, dim),
+        "norm2": init_layernorm(dim),
+        "mlp": init_mlp(k2, dim, int(dim * mlp_ratio)),
+    }
+
+
+def vit_block(
+    params: Params,
+    x: jnp.ndarray,
+    heads: int,
+    eps: float = 1e-6,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    h = layernorm(params["norm1"], x, eps)
+    x = x + mha(params["attn"], h, h, heads, compute_dtype=compute_dtype)
+    x = x + mlp(params["mlp"], layernorm(params["norm2"], x, eps), compute_dtype)
+    return x
