@@ -1,0 +1,115 @@
+"""PARSEQ model tests: shapes, and scan-decode vs full-decode consistency.
+
+The KV-cached `lax.scan` greedy decode is an inference-optimized rewrite of
+the full-sequence decoder; the two must produce identical logits on the same
+prefix. That internal-consistency check is the strongest parity evidence
+available without pretrained checkpoints (SURVEY.md §4.3).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tuatara_tpu.config import ParseqConfig
+from tuatara_tpu.models.parseq import (
+    init_parseq_params,
+    parseq_decode,
+    parseq_encode,
+    parseq_forward,
+    parseq_greedy_decode,
+    parseq_refine,
+    refine_mask,
+)
+
+# Tiny config: same topology, small dims, so the 1-core CPU host can compile
+# it quickly.
+CFG = ParseqConfig(
+    embed_dim=32, enc_depth=2, enc_heads=4, dec_heads=4,
+    max_label_length=7, charset_size=94,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_parseq_params(jax.random.PRNGKey(0), CFG)
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (3, 32, 128, 3))
+    memory = jax.jit(lambda p, x: parseq_encode(p, x, CFG, jnp.float32))(params, imgs)
+    return params, imgs, memory
+
+
+def test_encoder_shape(setup):
+    _, _, memory = setup
+    assert memory.shape == (3, CFG.seq_len, CFG.embed_dim)
+    assert CFG.seq_len == 128  # 8x16 patches of 4x8 over 32x128
+
+
+def test_greedy_decode_shapes(setup):
+    params, _, memory = setup
+    logits, ids = jax.jit(
+        lambda p, m: parseq_greedy_decode(p, m, CFG, jnp.float32)
+    )(params, memory)
+    T = CFG.max_label_length + 1
+    assert logits.shape == (3, T, CFG.charset_size + 1)
+    assert ids.shape == (3, T)
+    # ids are the argmax of logits (greedy)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(logits).argmax(-1))
+
+
+def test_scan_decode_matches_full_decode(setup):
+    """Teacher-forcing the scan's own output through the full decoder must
+    reproduce the scan's logits exactly (same math, different schedule)."""
+    params, _, memory = setup
+    logits, ids = jax.jit(
+        lambda p, m: parseq_greedy_decode(p, m, CFG, jnp.float32)
+    )(params, memory)
+    T = CFG.max_label_length + 1
+    bos = CFG.num_tokens - 2
+    tgt_in = jnp.concatenate(
+        [jnp.full((3, 1), bos, jnp.int32), ids[:, :-1].astype(jnp.int32)], axis=1
+    )
+    causal = (jnp.arange(T)[None, :] <= jnp.arange(T)[:, None])[None, None]
+    full = jax.jit(
+        lambda p, m, t: parseq_decode(p, m, t, CFG, query_mask=causal,
+                                      compute_dtype=jnp.float32)
+    )(params, memory, tgt_in)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(full),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_refine_mask_blocks_own_token():
+    m = np.asarray(refine_mask(5))
+    for i in range(5):
+        for j in range(5):
+            assert m[i, j] == (j != i + 1)
+
+
+def test_refine_shapes_and_changes_logits(setup):
+    params, _, memory = setup
+    logits, _ = parseq_greedy_decode(params, memory, CFG, jnp.float32)
+    refined = jax.jit(
+        lambda p, m, l: parseq_refine(p, m, l, CFG, jnp.float32)
+    )(params, memory, logits)
+    assert refined.shape == logits.shape
+    assert np.isfinite(np.asarray(refined)).all()
+
+
+def test_full_forward(setup):
+    params, imgs, _ = setup
+    logits = jax.jit(lambda p, x: parseq_forward(p, x, CFG, jnp.float32))(params, imgs)
+    T = CFG.max_label_length + 1
+    assert logits.shape == (3, T, CFG.charset_size + 1)
+
+
+def test_batch_invariance(setup):
+    """Row i of a batched decode equals decoding row i alone (no cross-crop
+    leakage through the batch dimension)."""
+    params, _, memory = setup
+    logits, _ = jax.jit(
+        lambda p, m: parseq_greedy_decode(p, m, CFG, jnp.float32)
+    )(params, memory)
+    solo, _ = jax.jit(
+        lambda p, m: parseq_greedy_decode(p, m, CFG, jnp.float32)
+    )(params, memory[1:2])
+    np.testing.assert_allclose(np.asarray(logits[1]), np.asarray(solo[0]),
+                               rtol=1e-4, atol=1e-4)

@@ -1,0 +1,329 @@
+"""PARSEQ scene-text recognizer in functional JAX.
+
+The reference runs PARSEQ as an opaque TorchScript artifact
+(`parseq_torchscript.bin`, tuatara.cpp:426-432): input `[N,3,32,128]` float in
+[0,1] (tuatara.cpp:440-446), output logits `[N, L, C]` which the pipeline
+softmaxes and greedy-decodes (tuatara.cpp:486-493). This module implements the
+architecture itself (PARSEQ paper defaults, matching the public network so
+converted weights drop in):
+
+* ViT-S encoder: 4x8 patch embed over the 32x128 crop -> 8x16=128 tokens,
+  dim 384, 12 pre-norm blocks, 6 heads, final LayerNorm. No class token.
+* Decoder: depth-1 dual-stream layer. The *query* stream (learned position
+  queries) attends over the *content* stream (scaled token embeddings +
+  position info), then cross-attends the image memory, then MLP — all
+  pre-norm with distinct norms (norm_q/norm_c on the attention inputs).
+* Greedy AR decode: BOS start, one token per step. TPU-first design: the
+  whole decode is a single `lax.scan` over `max_label_length+1` steps with a
+  preallocated content K/V cache — no dynamic shapes, one compiled program
+  for any batch of crops. (The reference instead runs the TorchScript module
+  over 4-crop chunks on 6 host threads — tuatara.cpp:450-475; here the batch
+  dimension is the parallelism and shards over the device mesh.)
+* Optional iterative refinement (cloze mask): one full-sequence pass re-reads
+  the AR output with each position's own input token masked.
+
+Vocabulary: ids follow the tokenizer layout [EOS=0, charset..., BOS, PAD]
+(tuatara.cpp:36-39). The head emits charset_size+1=95 logits (EOS + charset);
+BOS/PAD are never predicted.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tuatara_tpu.config import ParseqConfig
+from tuatara_tpu.models import layers as L
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_parseq_params(key: jax.Array, cfg: ParseqConfig = ParseqConfig()) -> Params:
+    D = cfg.embed_dim
+    keys = iter(jax.random.split(key, 24 + cfg.enc_depth))
+    p: Params = {}
+
+    ph, pw = cfg.patch_size
+    p["patch_embed"] = {
+        "w": L.trunc_normal(next(keys), (ph * pw * 3, D)),
+        "b": jnp.zeros((D,), jnp.float32),
+    }
+    p["pos_embed"] = L.trunc_normal(next(keys), (1, cfg.seq_len, D))
+    p["enc"] = [
+        L.init_vit_block(next(keys), D, cfg.enc_mlp_ratio) for _ in range(cfg.enc_depth)
+    ]
+    p["enc_norm"] = L.init_layernorm(D)
+
+    p["text_embed"] = L.trunc_normal(next(keys), (cfg.num_tokens, D))
+    p["pos_queries"] = L.trunc_normal(next(keys), (1, cfg.max_label_length + 1, D))
+
+    dec_hidden = int(D * cfg.dec_mlp_ratio)
+    p["dec"] = []
+    for _ in range(cfg.dec_depth):
+        k1, k2, k3, k4 = jax.random.split(next(keys), 4)
+        p["dec"].append({
+            "norm_q": L.init_layernorm(D),
+            "norm_c": L.init_layernorm(D),
+            "self_attn": L.init_mha(k1, D),
+            "norm1": L.init_layernorm(D),
+            "cross_attn": L.init_mha(k2, D),
+            "norm2": L.init_layernorm(D),
+            "linear1": L.init_linear(k3, D, dec_hidden),
+            "linear2": L.init_linear(k4, dec_hidden, D),
+        })
+    p["dec_norm"] = L.init_layernorm(D)
+    p["head"] = L.init_linear(next(keys), D, cfg.charset_size + 1)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def parseq_encode(
+    params: Params,
+    images: jnp.ndarray,
+    cfg: ParseqConfig = ParseqConfig(),
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Encode crops [N, H, W, 3] (float in [0,1]) -> memory [N, S, D]."""
+    n, h, w, c = images.shape
+    ph, pw = cfg.patch_size
+    gh, gw = h // ph, w // pw
+    # Patchify as a reshape + one big matmul (equivalent to the stride-ph/pw
+    # conv patch embed, but lowered as a single MXU-friendly GEMM).
+    x = images.reshape(n, gh, ph, gw, pw, c).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(n, gh * gw, ph * pw * c)
+    x = L.linear(params["patch_embed"], x, compute_dtype)
+    x = x + params["pos_embed"]
+    for blk in params["enc"]:
+        x = L.vit_block(blk, x, cfg.enc_heads, cfg.layer_norm_eps, compute_dtype)
+    return L.layernorm(params["enc_norm"], x, cfg.layer_norm_eps)
+
+
+# ---------------------------------------------------------------------------
+# Decoder layer (dual-stream; inference uses only the query stream)
+# ---------------------------------------------------------------------------
+
+def _dec_ff(layer: Params, x: jnp.ndarray, eps: float, dtype) -> jnp.ndarray:
+    h = L.layernorm(layer["norm2"], x, eps)
+    h = jax.nn.gelu(L.linear(layer["linear1"], h, dtype), approximate=False)
+    return x + L.linear(layer["linear2"], h, dtype)
+
+
+def _query_stream(
+    layer: Params,
+    query: jnp.ndarray,
+    content_norm: jnp.ndarray,
+    memory: jnp.ndarray,
+    heads: int,
+    eps: float,
+    dtype,
+    sa_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """One decoder layer's query stream over pre-normed content."""
+    qn = L.layernorm(layer["norm_q"], query, eps)
+    query = query + L.mha(layer["self_attn"], qn, content_norm, heads, sa_mask, dtype)
+    cn = L.layernorm(layer["norm1"], query, eps)
+    query = query + L.mha(layer["cross_attn"], cn, memory, heads, None, dtype)
+    return _dec_ff(layer, query, eps, dtype)
+
+
+def _embed_tokens(params: Params, ids: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Scaled token embedding: sqrt(D) * E[ids]."""
+    return math.sqrt(dim) * jnp.take(params["text_embed"], ids, axis=0)
+
+
+def _content_embeddings(
+    params: Params, tgt_ids: jnp.ndarray, cfg: ParseqConfig
+) -> jnp.ndarray:
+    """Content stream: [BOS no-pos, token_j + pos_{j-1} ...] for j >= 1."""
+    emb = _embed_tokens(params, tgt_ids, cfg.embed_dim)  # [N, L, D]
+    L_ = tgt_ids.shape[1]
+    pos = jnp.pad(params["pos_queries"][0, : L_ - 1], ((1, 0), (0, 0)))
+    return emb + pos[None]
+
+
+def parseq_decode(
+    params: Params,
+    memory: jnp.ndarray,
+    tgt_ids: jnp.ndarray,
+    cfg: ParseqConfig = ParseqConfig(),
+    query: Optional[jnp.ndarray] = None,
+    query_mask: Optional[jnp.ndarray] = None,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Full-sequence decode (training / refinement path).
+
+    Args:
+      memory: [N, S, D] encoder output.
+      tgt_ids: [N, L] content token ids (starts with BOS).
+      query: [N, Lq, D] position queries; defaults to pos_queries[:L].
+      query_mask: broadcastable to [N, heads, Lq, L]; True = attend.
+
+    Returns logits [N, Lq, charset_size+1].
+    """
+    content = _content_embeddings(params, tgt_ids, cfg)
+    if query is None:
+        q = jnp.broadcast_to(
+            params["pos_queries"][:, : tgt_ids.shape[1]],
+            (tgt_ids.shape[0], tgt_ids.shape[1], cfg.embed_dim),
+        )
+    else:
+        q = query
+    for layer in params["dec"]:
+        cn = L.layernorm(layer["norm_c"], content, cfg.layer_norm_eps)
+        q = _query_stream(
+            layer, q, cn, memory, cfg.dec_heads, cfg.layer_norm_eps,
+            compute_dtype, sa_mask=query_mask,
+        )
+        # NOTE: with dec_depth == 1 the content-stream update is dead weight
+        # (its output feeds nothing), so it is elided. For deeper decoders the
+        # content stream would be updated here with the content mask.
+    q = L.layernorm(params["dec_norm"], q, cfg.layer_norm_eps)
+    return L.linear(params["head"], q, compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Greedy autoregressive decode as one lax.scan (the inference hot path)
+# ---------------------------------------------------------------------------
+
+def parseq_greedy_decode(
+    params: Params,
+    memory: jnp.ndarray,
+    cfg: ParseqConfig = ParseqConfig(),
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy AR decode over a batch of encoded crops.
+
+    Returns (logits [N, T, C], ids [N, T]) with T = max_label_length + 1.
+
+    Design: depth-1 decoder => the self-attention K/V of the content stream
+    are pure per-token functions of (token id, position), so they are cached
+    in preallocated [N, H, T, hd] buffers and each scan step does one
+    single-query attention over the cache — no recomputation of the prefix,
+    no dynamic shapes.
+    """
+    if cfg.dec_depth != 1:
+        raise NotImplementedError("KV-cached scan decode assumes dec_depth == 1")
+    layer = params["dec"][0]
+    eps = cfg.layer_norm_eps
+    N, S, D = memory.shape
+    H = cfg.dec_heads
+    hd = D // H
+    T = cfg.max_label_length + 1
+    num_classes = cfg.charset_size + 1
+    bos_id = cfg.num_tokens - 2
+
+    # Cross-attention K/V over the image memory: computed once.
+    mem_k, mem_v = L.mha_kv(layer["cross_attn"], memory, H, compute_dtype)
+
+    pos_q = params["pos_queries"][0]  # [T, D]
+
+    def content_kv(token_ids: jnp.ndarray, step: jnp.ndarray):
+        """K/V heads for the content token entering at position `step`."""
+        e = _embed_tokens(params, token_ids, D)  # [N, D]
+        # Position add: BOS (step 0) carries no positional term; token at
+        # content position j>=1 carries pos_queries[j-1].
+        pidx = jnp.maximum(step - 1, 0)
+        e = e + jnp.where(step >= 1, pos_q[pidx], 0.0)
+        cn = L.layernorm(layer["norm_c"], e[:, None], eps)  # [N,1,D]
+        k = L.linear(layer["self_attn"]["k"], cn, compute_dtype)
+        v = L.linear(layer["self_attn"]["v"], cn, compute_dtype)
+        k = k.reshape(N, 1, H, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(N, 1, H, hd).transpose(0, 2, 1, 3)
+        return k, v  # [N, H, 1, hd]
+
+    def step_fn(carry, i):
+        tokens, k_cache, v_cache = carry
+        # Cache the content token for position i (BOS at i=0, else generated).
+        tok_i = jax.lax.dynamic_slice(tokens, (0, i), (N, 1))[:, 0]
+        k_i, v_i = content_kv(tok_i, i)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k_i.astype(k_cache.dtype), (0, 0, i, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v_i.astype(v_cache.dtype), (0, 0, i, 0))
+
+        # Query stream for output position i over cache positions <= i.
+        q = jnp.broadcast_to(jax.lax.dynamic_slice(pos_q, (i, 0), (1, D))[None], (N, 1, D))
+        mask = (jnp.arange(T)[None, None, None, :] <= i)
+        qn = L.layernorm(layer["norm_q"], q, eps)
+        x = q + L.mha_with_kv(layer["self_attn"], qn, k_cache, v_cache, H, mask, compute_dtype)
+        cn = L.layernorm(layer["norm1"], x, eps)
+        x = x + L.mha_with_kv(layer["cross_attn"], cn, mem_k, mem_v, H, None, compute_dtype)
+        x = _dec_ff(layer, x, eps, compute_dtype)
+        x = L.layernorm(params["dec_norm"], x, eps)
+        logits_i = L.linear(params["head"], x, compute_dtype)[:, 0]  # [N, C]
+
+        nxt = jnp.argmax(logits_i, axis=-1).astype(tokens.dtype)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))
+        return (tokens, k_cache, v_cache), logits_i
+
+    tokens0 = jnp.full((N, T + 1), bos_id, jnp.int32)
+    kv_dtype = jnp.float32
+    k0 = jnp.zeros((N, H, T, hd), kv_dtype)
+    v0 = jnp.zeros((N, H, T, hd), kv_dtype)
+    (tokens, _, _), logits = jax.lax.scan(
+        step_fn, (tokens0, k0, v0), jnp.arange(T)
+    )
+    logits = logits.transpose(1, 0, 2)  # [N, T, C]
+    return logits, tokens[:, 1:]
+
+
+def refine_mask(T: int) -> jnp.ndarray:
+    """Cloze attention mask for refinement: query i may attend every content
+    position except j == i + 1 (its own previous prediction)."""
+    i = jnp.arange(T)[:, None]
+    j = jnp.arange(T)[None, :]
+    return j != i + 1
+
+
+def parseq_refine(
+    params: Params,
+    memory: jnp.ndarray,
+    logits: jnp.ndarray,
+    cfg: ParseqConfig = ParseqConfig(),
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """One cloze-refinement pass over AR logits (PARSEQ iterative refinement).
+
+    Rebuilds the content stream from [BOS, argmax(logits)[:-1]], masks each
+    query's own input position and every position past the first EOS, and
+    re-decodes the full sequence in one shot.
+    """
+    N, T, _ = logits.shape
+    bos_id = cfg.num_tokens - 2
+    prev = jnp.argmax(logits, axis=-1)  # [N, T], vocab ids (<= charset_size)
+    tgt_in = jnp.concatenate(
+        [jnp.full((N, 1), bos_id, prev.dtype), prev[:, :-1]], axis=1
+    )
+    # Padding: positions at/after the first EOS in the content are blocked.
+    pad = jnp.cumsum((tgt_in == 0).astype(jnp.int32), axis=1) > 0  # [N, T]
+    mask = refine_mask(T)[None, None] & ~pad[:, None, None, :]
+    return parseq_decode(
+        params, memory, tgt_in, cfg, query_mask=mask, compute_dtype=compute_dtype
+    )
+
+
+def parseq_forward(
+    params: Params,
+    images: jnp.ndarray,
+    cfg: ParseqConfig = ParseqConfig(),
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Full inference forward: crops [N,32,128,3] in [0,1] -> logits [N,T,C].
+
+    Mirrors the reference model's observable contract (input tuatara.cpp:
+    440-446, output consumed at tuatara.cpp:486-493), including greedy AR
+    decode with `refine_iters` cloze refinement passes.
+    """
+    memory = parseq_encode(params, images, cfg, compute_dtype)
+    logits, _ = parseq_greedy_decode(params, memory, cfg, compute_dtype)
+    for _ in range(cfg.refine_iters):
+        logits = parseq_refine(params, memory, logits, cfg, compute_dtype)
+    return logits
