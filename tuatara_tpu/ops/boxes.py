@@ -1,0 +1,252 @@
+"""CRAFT heatmap -> text boxes, entirely on device with fixed shapes.
+
+TPU-native rebuild of the reference's `get_detected_boxes`
+(tuatara.cpp:119-204) + `adjust_result_coordinates` (tuatara.cpp:236-253).
+The reference's per-component serial OpenCV loop (mask building, minMaxLoc,
+dilate, findNonZero, minAreaRect — O(components x H*W)) becomes a constant
+number of whole-image vectorized passes plus fixed-size segment reductions:
+
+1. Min-max normalize region/affinity maps over the content extent
+   (tuatara.cpp:120-121), binarize at `low_text` / `link_threshold`
+   (tuatara.cpp:131-132, cv::THRESH_BINARY => strictly greater).
+2. Combined score = union of the two binary maps (tuatara.cpp:136-137),
+   intersected with the content mask (TPU canvas padding is excluded).
+3. Connected components (4-conn) via the iterative device labeler.
+4. Per-component stats as `segment_*` reductions over dense component ids:
+   area, full bbox, peak region score, and the bbox of the *reduced* pixel
+   set (component minus link-only pixels, tuatara.cpp:160).
+5. The reference's per-component square dilation (tuatara.cpp:162-174) is
+   applied *analytically in box space*: dilating a pixel set with a
+   (1+niter)^2 kernel expands its bounding box by exactly floor(niter/2)
+   left/top and ceil(niter/2) right/bottom (OpenCV center anchor ax = K//2
+   grows a set by ax right/bottom and K-1-ax left/top), clamped to the
+   reference's ROI — which algebra shows reduces to clamping at the content
+   edge. No actual dilation pass needed for axis-aligned output; verified
+   bit-exact against a cv2 oracle in tests/test_ops.py.
+6. Filters: area >= min_component_area (tuatara.cpp:147-148), peak score >=
+   text_threshold (tuatara.cpp:150-154), non-empty reduced set, and the
+   fixed `max_boxes` budget.
+
+Box fitting: the public bbox format is axis-aligned min/max
+(tuatara.cpp:256-274) and the reference crops axis-aligned too
+(`boundingRect`, tuatara.cpp:416), so the default "axis" mode emits the
+dilated point-set AABB directly (exact whenever the fitted minAreaRect is
+axis-aligned, i.e. all horizontal text; a rotated minAreaRect's corner AABB
+can be slightly larger — documented deviation). "rotated" mode additionally
+fits a PCA-oriented rotated rectangle from second moments + a projected
+extent pass, for the rectification path the reference never implemented.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tuatara_tpu.config import OcrConfig
+from tuatara_tpu.ops.connected_components import compact_labels, label_components
+
+_INF = jnp.float32(1e30)
+
+
+def _masked_minmax(x: jnp.ndarray, mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    mn = jnp.min(jnp.where(mask, x, _INF))
+    mx = jnp.max(jnp.where(mask, x, -_INF))
+    return mn, mx
+
+
+def _normalize(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    mn, mx = _masked_minmax(x, mask)
+    return (x - mn) / jnp.maximum(mx - mn, 1e-12)
+
+
+def _niter(area, w, h, mode: str):
+    """Dilation radius (tuatara.cpp:166). "reference" keeps the C++ integer
+    division `size*min(w,h)/(w*h)*2` inside the sqrt; "upstream" is the CRAFT
+    repo's float math with the *2 outside."""
+    minwh = jnp.minimum(w, h)
+    if mode == "reference":
+        q = (area * minwh) // jnp.maximum(w * h, 1)
+        return jnp.sqrt((q * 2).astype(jnp.float32)).astype(jnp.int32)
+    q = area.astype(jnp.float32) * minwh / jnp.maximum(w * h, 1)
+    return (jnp.sqrt(q) * 2).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract_boxes(
+    textmap: jnp.ndarray,
+    linkmap: jnp.ndarray,
+    content_mask: jnp.ndarray,
+    cfg: OcrConfig,
+) -> Dict[str, jnp.ndarray]:
+    """Heatmaps [H, W] fp32 + content mask [H, W] bool -> fixed-size box set.
+
+    Returns dict with (K = cfg.max_boxes):
+      boxes   [K, 4] fp32 — (x0, y0, x1, y1) inclusive pixel extents in
+              heatmap coordinates, post-dilation.
+      corners [K, 4, 2] fp32 — rotated rect corners (axis-aligned rects in
+              "axis" mode).
+      valid   [K] bool, count (scalar), num_components (scalar),
+      cc_iters (scalar, labeler convergence diagnostics).
+    """
+    H, W = textmap.shape
+    K = cfg.max_boxes
+
+    tn = _normalize(textmap, content_mask)
+    ln = _normalize(linkmap, content_mask)
+    text_bin = (tn > cfg.low_text) & content_mask
+    link_bin = (ln > cfg.link_threshold) & content_mask
+    comb = text_bin | link_bin
+
+    labels, cc_iters = label_components(comb, cfg.cc_max_iters)
+    comp2d, ncomp = compact_labels(labels, K)
+    comp = comp2d.reshape(-1)
+    fg = comp >= 0
+
+    xs = jnp.tile(jnp.arange(W, dtype=jnp.int32)[None], (H, 1)).reshape(-1)
+    ys = jnp.tile(jnp.arange(H, dtype=jnp.int32)[:, None], (1, W)).reshape(-1)
+    seg_ids = jnp.where(fg, comp, K)  # background -> dropped (>= num_segments)
+
+    ones = fg.astype(jnp.int32)
+    area = jax.ops.segment_sum(ones, seg_ids, num_segments=K)
+    l = jax.ops.segment_min(jnp.where(fg, xs, W), seg_ids, num_segments=K)
+    r = jax.ops.segment_max(jnp.where(fg, xs, -1), seg_ids, num_segments=K)
+    t = jax.ops.segment_min(jnp.where(fg, ys, H), seg_ids, num_segments=K)
+    b = jax.ops.segment_max(jnp.where(fg, ys, -1), seg_ids, num_segments=K)
+    peak = jax.ops.segment_max(
+        jnp.where(fg, tn.reshape(-1), -_INF), seg_ids, num_segments=K
+    )
+
+    # Reduced set: component minus link-only pixels (tuatara.cpp:160).
+    keep = fg & ~(link_bin & ~text_bin).reshape(-1)
+    rseg = jnp.where(keep, comp, K)
+    rcount = jax.ops.segment_sum(keep.astype(jnp.int32), rseg, num_segments=K)
+    rl = jax.ops.segment_min(jnp.where(keep, xs, W), rseg, num_segments=K)
+    rr = jax.ops.segment_max(jnp.where(keep, xs, -1), rseg, num_segments=K)
+    rt = jax.ops.segment_min(jnp.where(keep, ys, H), rseg, num_segments=K)
+    rb = jax.ops.segment_max(jnp.where(keep, ys, -1), rseg, num_segments=K)
+
+    w_full = r - l + 1
+    h_full = b - t + 1
+    niter = _niter(area, w_full, h_full, cfg.niter_mode)
+    # OpenCV dilate with a KxK kernel (K = 1+niter) and default center anchor
+    # ax = K//2 grows a set by ax to the right/bottom and K-1-ax to the
+    # left/top (dst(x) covers src(x-dx) for dx in [-(K-1-ax), ax]).
+    grow_lt = niter // 2
+    grow_rb = (niter + 1) // 2
+
+    # Content extent (for ROI clamping at the reference's heatmap edge).
+    cw = jnp.max(jnp.where(content_mask, xs.reshape(H, W), -1)) + 1
+    ch = jnp.max(jnp.where(content_mask, ys.reshape(H, W), -1)) + 1
+
+    x0 = jnp.maximum(rl - grow_lt, 0)
+    y0 = jnp.maximum(rt - grow_lt, 0)
+    x1 = jnp.minimum(rr + grow_rb, cw - 1)
+    y1 = jnp.minimum(rb + grow_rb, ch - 1)
+
+    valid = (
+        (area >= cfg.min_component_area)
+        & (peak >= cfg.text_threshold)
+        & (rcount > 0)
+        & (jnp.arange(K) < ncomp)
+    )
+
+    boxes = jnp.stack(
+        [x0.astype(jnp.float32), y0.astype(jnp.float32),
+         x1.astype(jnp.float32), y1.astype(jnp.float32)], axis=-1
+    )
+
+    if cfg.box_mode == "rotated":
+        corners = _pca_corners(
+            comp, keep, xs, ys, K, grow_lt, grow_rb, boxes
+        )
+    else:
+        corners = jnp.stack(
+            [
+                jnp.stack([boxes[:, 0], boxes[:, 1]], -1),
+                jnp.stack([boxes[:, 2], boxes[:, 1]], -1),
+                jnp.stack([boxes[:, 2], boxes[:, 3]], -1),
+                jnp.stack([boxes[:, 0], boxes[:, 3]], -1),
+            ],
+            axis=1,
+        )
+
+    return {
+        "boxes": boxes,
+        "corners": corners,
+        "valid": valid,
+        "count": jnp.sum(valid.astype(jnp.int32)),
+        "num_components": ncomp,
+        "cc_iters": cc_iters,
+    }
+
+
+def _pca_corners(comp, keep, xs, ys, K, grow_lt, grow_rb, aabb):
+    """PCA-oriented rotated rect per component (approximate minAreaRect).
+
+    Principal axis from second moments of the reduced pixel set, extents from
+    a projection min/max pass, inflated by the dilation radius. For near-axis
+    components the result collapses to the AABB.
+    """
+    rseg = jnp.where(keep, comp, K)
+    fx = xs.astype(jnp.float32)
+    fy = ys.astype(jnp.float32)
+    n = jnp.maximum(jax.ops.segment_sum(keep.astype(jnp.float32), rseg, num_segments=K), 1.0)
+    sx = jax.ops.segment_sum(jnp.where(keep, fx, 0.0), rseg, num_segments=K) / n
+    sy = jax.ops.segment_sum(jnp.where(keep, fy, 0.0), rseg, num_segments=K) / n
+    sxx = jax.ops.segment_sum(jnp.where(keep, fx * fx, 0.0), rseg, num_segments=K) / n - sx * sx
+    syy = jax.ops.segment_sum(jnp.where(keep, fy * fy, 0.0), rseg, num_segments=K) / n - sy * sy
+    sxy = jax.ops.segment_sum(jnp.where(keep, fx * fy, 0.0), rseg, num_segments=K) / n - sx * sy
+    theta = 0.5 * jnp.arctan2(2 * sxy, sxx - syy)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+
+    # Projection extents: u along the principal axis, v orthogonal.
+    cu = jnp.take(c, jnp.where(keep, comp, 0))
+    su = jnp.take(s, jnp.where(keep, comp, 0))
+    u = fx * cu + fy * su
+    v = -fx * su + fy * cu
+    umin = jax.ops.segment_min(jnp.where(keep, u, _INF), rseg, num_segments=K)
+    umax = jax.ops.segment_max(jnp.where(keep, u, -_INF), rseg, num_segments=K)
+    vmin = jax.ops.segment_min(jnp.where(keep, v, _INF), rseg, num_segments=K)
+    vmax = jax.ops.segment_max(jnp.where(keep, v, -_INF), rseg, num_segments=K)
+    # Square dilation inflates projections by at most r*(|c|+|s|).
+    infl_lo = grow_lt.astype(jnp.float32) * (jnp.abs(c) + jnp.abs(s))
+    infl_hi = grow_rb.astype(jnp.float32) * (jnp.abs(c) + jnp.abs(s))
+    umin, umax = umin - infl_lo, umax + infl_hi
+    vmin, vmax = vmin - infl_lo, vmax + infl_hi
+
+    def corner(uu, vv):
+        return jnp.stack([uu * c - vv * s, uu * s + vv * c], axis=-1)
+
+    corners = jnp.stack(
+        [corner(umin, vmin), corner(umax, vmin), corner(umax, vmax), corner(umin, vmax)],
+        axis=1,
+    )
+    # Degenerate (empty) components: fall back to the AABB corners.
+    bad = ~jnp.isfinite(corners).all(axis=(1, 2))
+    aabb_corners = jnp.stack(
+        [
+            jnp.stack([aabb[:, 0], aabb[:, 1]], -1),
+            jnp.stack([aabb[:, 2], aabb[:, 1]], -1),
+            jnp.stack([aabb[:, 2], aabb[:, 3]], -1),
+            jnp.stack([aabb[:, 0], aabb[:, 3]], -1),
+        ],
+        axis=1,
+    )
+    return jnp.where(bad[:, None, None], aabb_corners, corners)
+
+
+def scale_boxes(boxes: jnp.ndarray, ratio: float, cfg: OcrConfig) -> jnp.ndarray:
+    """Heatmap coords -> original-image coords (tuatara.cpp:236-253):
+    multiply by ratio_net * (1/resize_ratio)."""
+    return boxes * (cfg.ratio_net / ratio)
+
+
+def tesseract_bbox(scaled_boxes: jnp.ndarray) -> jnp.ndarray:
+    """Public bbox format: rounded [min_x, min_y, max_x, max_y] floats
+    (tuatara.cpp:256-274). floor(x+0.5) matches std::round half-away-from-zero
+    for the non-negative coordinates produced here (jnp.round would banker's-
+    round exact halves)."""
+    return jnp.floor(scaled_boxes + 0.5)

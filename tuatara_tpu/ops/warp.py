@@ -1,0 +1,115 @@
+"""Crop extraction as a batched bilinear gather, HBM-resident.
+
+The reference round-trips every detected box through the host: OpenCV crop of
+the axis-aligned bounding rect (tuatara.cpp:409-418), then cv::resize to
+128x32 (tuatara.cpp:438-448). Here the full-resolution image stays on device
+and all `max_boxes` crops are produced by one fused gather+blend into a fixed
+[K, 32, 128, 3] batch — crop and resize are a single composite bilinear
+sample (mathematically identical to crop-then-resize, since the intermediate
+crop is an axis-aligned integer-pixel window).
+
+Sampling convention mirrors cv::resize INTER_LINEAR (half-pixel):
+  src_x = x0 + (j + 0.5) * w_box / out_w - 0.5
+with coordinates clamped to the crop window (OpenCV border replication at the
+crop edge), and the window itself clamped to the image — a deliberate fix of
+the reference's unclamped `boundingRect` crop (quirk: tuatara.cpp:416 can
+read out of bounds for edge boxes).
+
+The perspective (rotated-rect rectification) path uses the same gather with a
+projective coordinate grid — the improvement the reference TODO'd but never
+built (it fits rotated rects yet crops axis-aligned, tuatara.cpp:416).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_gather(image: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray) -> jnp.ndarray:
+    """Sample image [H, W, C] at float coords sx/sy [...] -> [..., C]."""
+    H, W, _ = image.shape
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = (sx - x0)[..., None]
+    wy = (sy - y0)[..., None]
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+
+    flat = image.reshape(H * W, -1)
+    def at(yy, xx):
+        return jnp.take(flat, (yy * W + xx).reshape(-1), axis=0).reshape(*xx.shape, -1)
+
+    top = at(y0, x0) * (1 - wx) + at(y0, x1) * wx
+    bot = at(y1, x0) * (1 - wx) + at(y1, x1) * wx
+    return top * (1 - wy) + bot * wy
+
+
+def crop_rects(scaled_boxes: jnp.ndarray, img_h: int, img_w: int) -> jnp.ndarray:
+    """Float boxes (x0,y0,x1,y1) -> integer crop windows, cv-boundingRect
+    style (floor(min), span to ceil(max)+1 exclusive), clamped to the image."""
+    x0 = jnp.clip(jnp.floor(scaled_boxes[:, 0]), 0, img_w - 1)
+    y0 = jnp.clip(jnp.floor(scaled_boxes[:, 1]), 0, img_h - 1)
+    x1 = jnp.clip(jnp.ceil(scaled_boxes[:, 2]) + 1, x0 + 1, img_w)
+    y1 = jnp.clip(jnp.ceil(scaled_boxes[:, 3]) + 1, y0 + 1, img_h)
+    return jnp.stack([x0, y0, x1, y1], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def extract_crops(
+    image: jnp.ndarray,
+    rects: jnp.ndarray,
+    out_h: int = 32,
+    out_w: int = 128,
+) -> jnp.ndarray:
+    """image [H, W, 3] float (0..255) + rects [K, 4] -> crops [K, out_h,
+    out_w, 3] in [0, 1] (the reference's /255, tuatara.cpp:446)."""
+    K = rects.shape[0]
+    x0, y0, x1, y1 = rects[:, 0], rects[:, 1], rects[:, 2], rects[:, 3]
+    wbox = x1 - x0
+    hbox = y1 - y0
+
+    jj = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w  # [out_w]
+    ii = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h  # [out_h]
+    sx = x0[:, None, None] + jj[None, None, :] * wbox[:, None, None] - 0.5
+    sy = y0[:, None, None] + ii[None, :, None] * hbox[:, None, None] - 0.5
+    # Border replicate at the crop edge (cv::resize samples never leave the
+    # source crop).
+    sx = jnp.clip(sx, x0[:, None, None], x1[:, None, None] - 1.0)
+    sy = jnp.clip(sy, y0[:, None, None], y1[:, None, None] - 1.0)
+    sx = jnp.broadcast_to(sx, (K, out_h, out_w))
+    sy = jnp.broadcast_to(sy, (K, out_h, out_w))
+    return _bilinear_gather(image, sx, sy) / 255.0
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def extract_crops_perspective(
+    image: jnp.ndarray,
+    corners: jnp.ndarray,
+    out_h: int = 32,
+    out_w: int = 128,
+) -> jnp.ndarray:
+    """Rectified crops from rotated-rect corners [K, 4, 2] (tl, tr, br, bl).
+
+    Bilinear interpolation of the quad's edges (for a parallelogram — every
+    rotated rect — this equals the full projective warp).
+    """
+    K = corners.shape[0]
+    jj = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w
+    ii = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h
+    u = jnp.broadcast_to(jj[None, None, :], (K, out_h, out_w))
+    v = jnp.broadcast_to(ii[None, :, None], (K, out_h, out_w))
+    tl, tr, br, bl = (corners[:, i] for i in range(4))
+
+    def lerp(a, b, t):
+        return a[:, None, None, :] * (1 - t[..., None]) + b[:, None, None, :] * t[..., None]
+
+    top = lerp(tl, tr, u)
+    bot = lerp(bl, br, u)
+    pts = top * (1 - v[..., None]) + bot * v[..., None]  # [K, H, W, 2]
+    return _bilinear_gather(image, pts[..., 0], pts[..., 1]) / 255.0
