@@ -1,0 +1,84 @@
+"""End-to-end benchmark: FUNSD pages/sec on the attached TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Headline metric: end-to-end OCR throughput (detect + postproc + crops +
+PARSEQ greedy decode + host string assembly) over the reference FUNSD page
+(funsd_0001129658.png), batched. `vs_baseline` is measured against the
+north-star target of 100 pages/sec (BASELINE.md — the reference publishes no
+numbers; its apparatus is one wall-clock print, tuatara.cpp:507-509).
+
+Model weights are randomly initialized (no pretrained checkpoints exist in
+this zero-egress environment); compute cost is identical to trained weights.
+Box count per page depends on weights, so the bench also reports ms/crop for
+the recognizer at a fixed 256-crop slab, the second BASELINE.md metric.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+PAGES = 16
+WARMUP = 2
+ITERS = 5
+TARGET_PAGES_PER_SEC = 100.0
+
+FUNSD = "/root/reference/images/funsd_0001129658.png"
+
+
+def main() -> int:
+    import jax
+
+    from tuatara_tpu.api import OcrEngine
+    from tuatara_tpu.utils.image import load_image
+
+    img = load_image(FUNSD)
+    pages = np.broadcast_to(img, (PAGES,) + img.shape).copy()
+
+    engine = OcrEngine()
+
+    # --- end-to-end pages/sec ---
+    for _ in range(WARMUP):
+        engine.run_pages(pages)
+    t0 = time.perf_counter()
+    boxes = 0
+    for _ in range(ITERS):
+        results = engine.run_pages(pages)
+        boxes += sum(len(r) for r in results)
+    dt = time.perf_counter() - t0
+    pages_per_sec = PAGES * ITERS / dt
+
+    # --- recognizer ms/crop at a full 256-crop slab ---
+    import jax.numpy as jnp
+
+    crops = jnp.asarray(
+        np.random.default_rng(0).random((256, 32, 128, 3), np.float32)
+    )
+    rec = engine._recognize_fn(256)
+    rec(engine.parseq_params, crops)[0].block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        rec(engine.parseq_params, crops)[0].block_until_ready()
+    ms_per_crop = (time.perf_counter() - t0) / 3 / 256 * 1000
+
+    print(json.dumps({
+        "metric": "funsd_pages_per_sec_e2e",
+        "value": round(pages_per_sec, 3),
+        "unit": "pages/sec",
+        "vs_baseline": round(pages_per_sec / TARGET_PAGES_PER_SEC, 4),
+        "ms_per_crop_parseq": round(ms_per_crop, 4),
+        "boxes_per_run": boxes // ITERS,
+        "page_batch": PAGES,
+        "device": str(jax.devices()[0]),
+        "timings_last": {k: round(v, 4) if isinstance(v, float) else v
+                         for k, v in engine.last_timings.items()},
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,52 @@
+"""Drop-in compatibility shim for the reference's Python binding.
+
+The reference exposes a pybind11 module `pytuatara` with exactly one function
+(bindings/python.cpp:54-58):
+
+    pytuatara.image_to_data(image, weights_dir, outputs_dir)
+      -> [{"text": str, "bbox": [x0, y0, x1, y1]}]
+
+This module reproduces that surface 1:1 on top of the TPU engine, including
+the reference's argument validation (non-empty weights_dir/outputs_dir,
+tuatara.cpp:315-323 — raised as typed exceptions instead of
+print-and-return-empty) and its 3-D uint8 input check
+(bindings/python.cpp:15-17). `outputs_dir` is accepted and unused, exactly as
+in the reference (SURVEY.md quirk 6).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List
+
+import numpy as np
+
+from tuatara_tpu import api as _api
+
+
+def image_to_data(image, weights_dir: str, outputs_dir: str) -> List[Dict]:
+    if not weights_dir:
+        raise ValueError("Please provide a value for weights_dir")
+    if not outputs_dir:
+        raise ValueError("Please provide a value for outputs_dir")
+    image = np.asarray(image)
+    if image.ndim != 3:
+        raise ValueError("Input array should have 3 dimensions")
+    # The reference's weights_dir holds TorchScript artifacts; ours holds the
+    # converted .npz pytrees (utils/convert.py). A weights_dir without them
+    # falls back to random init only if it doesn't exist at all is NOT
+    # allowed here — the reference errors on unloadable weights
+    # (tuatara.cpp:337-340), so we do too.
+    from tuatara_tpu.utils.weights import weights_available
+
+    wd = weights_dir if weights_available(weights_dir) else None
+    if wd is None and os.path.isdir(weights_dir):
+        raise FileNotFoundError(
+            f"error loading models from {weights_dir!r}: expected craft.npz/"
+            "parseq.npz (convert TorchScript weights with tuatara_tpu.utils.convert)"
+        )
+    if wd is None:
+        raise FileNotFoundError(f"weights_dir {weights_dir!r} does not exist")
+    results = _api.image_to_data(image, weights_dir=wd, outputs_dir=outputs_dir)
+    # Reference items carry exactly {text, bbox} (tuatara.h:8-11).
+    return [{"text": r["text"], "bbox": r["bbox"]} for r in results]

@@ -1,0 +1,116 @@
+"""Engine / public-API integration tests (plumbing, caching, batching).
+
+Uses tiny model configs so the 1-core CPU host compiles quickly. Semantic
+transcript quality requires trained weights (not available in this
+environment); these tests pin the pipeline contract: shapes, ordering,
+determinism, engine caching, error types, and weight persistence.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from tuatara_tpu.api import OcrEngine, image_to_data
+from tuatara_tpu.config import CraftConfig, OcrConfig, ParseqConfig
+
+TINY_OCR = OcrConfig(
+    canvas_size=128, max_boxes=16, rec_buckets=(8, 16), max_label_length=7,
+)
+TINY_CRAFT = CraftConfig(
+    stage_channels=(8, 16, 16, 16, 16), fc_channels=16,
+    up_channels=((16, 16), (16, 16), (16, 8), (8, 8)),
+    head_channels=(8, 8, 8, 8),
+)
+TINY_PARSEQ = ParseqConfig(
+    embed_dim=32, enc_depth=1, enc_heads=4, dec_heads=4, max_label_length=7,
+)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return OcrEngine(TINY_OCR, TINY_CRAFT, TINY_PARSEQ, seed=0)
+
+
+def _page(rng, h=96, w=120):
+    img = np.full((h, w, 3), 255, np.uint8)
+    # black text-ish strokes to give the random detector structure
+    img[20:30, 10:60] = 0
+    img[50:58, 30:90] = 0
+    img += rng.integers(0, 10, img.shape).astype(np.uint8)
+    return img
+
+
+def test_run_returns_contract(engine, rng):
+    out = engine.run(_page(rng))
+    assert isinstance(out, list)
+    for item in out:
+        assert set(item) == {"text", "bbox", "confidence"}
+        assert len(item["bbox"]) == 4
+        x0, y0, x1, y1 = item["bbox"]
+        assert x0 <= x1 and y0 <= y1
+        assert isinstance(item["text"], str)
+        assert 0.0 <= item["confidence"] <= 1.0
+    assert set(engine.last_timings) >= {"detect_s", "recognize_s", "decode_s"}
+
+
+def test_determinism(engine, rng):
+    img = _page(rng)
+    a = engine.run(img)
+    b = engine.run(img)
+    assert a == b
+
+
+def test_compile_caching(engine, rng):
+    img = _page(rng)
+    engine.run(img)
+    n = len(engine._detect_fns)
+    engine.run(img)
+    assert len(engine._detect_fns) == n  # same shape -> no new program
+    engine.run(_page(rng, 64, 64))
+    assert len(engine._detect_fns) == n + 1
+
+
+def test_run_pages_batched_matches_single(engine, rng):
+    imgs = np.stack([_page(rng), _page(rng)])
+    batched = engine.run_pages(imgs)
+    singles = [engine.run(imgs[0]), engine.run(imgs[1])]
+    assert len(batched) == 2
+    for b, s in zip(batched, singles):
+        assert [i["text"] for i in b] == [i["text"] for i in s]
+        assert [i["bbox"] for i in b] == [i["bbox"] for i in s]
+
+
+def test_input_validation():
+    with pytest.raises(ValueError):
+        image_to_data(np.zeros((4, 4), np.uint8))  # ndim != 3
+    eng = OcrEngine(TINY_OCR, TINY_CRAFT, TINY_PARSEQ)
+    with pytest.raises(ValueError):
+        eng.run_pages(np.zeros((0, 4, 4, 3), np.uint8))
+
+
+def test_missing_weights_dir_raises():
+    with pytest.raises(FileNotFoundError):
+        OcrEngine(TINY_OCR, TINY_CRAFT, TINY_PARSEQ, weights_dir="/nonexistent")
+
+
+def test_weights_roundtrip(engine, rng, tmp_path):
+    from tuatara_tpu.utils import weights as W
+
+    wd = str(tmp_path / "weights")
+    W.save_weights_dir(wd, engine.craft_params, engine.parseq_params)
+    eng2 = OcrEngine(TINY_OCR, TINY_CRAFT, TINY_PARSEQ, weights_dir=wd)
+    img = _page(rng)
+    assert engine.run(img) == eng2.run(img)
+
+
+def test_flatten_unflatten_identity():
+    from tuatara_tpu.utils.weights import flatten_tree, unflatten_tree
+
+    tree = {"a": {"b": np.ones((2, 2))}, "list": [np.zeros(3), {"c": np.ones(1)}]}
+    flat = flatten_tree(tree)
+    back = unflatten_tree(flat)
+    assert np.array_equal(back["a"]["b"], tree["a"]["b"])
+    assert isinstance(back["list"], list)
+    assert np.array_equal(back["list"][0], tree["list"][0])
+    assert np.array_equal(back["list"][1]["c"], tree["list"][1]["c"])

@@ -1,0 +1,195 @@
+"""Weight-conversion tests.
+
+No pretrained artifacts exist in this environment, so conversion is validated
+structurally (converted trees must match the init trees leaf-for-leaf in
+path and shape) and functionally for the tricky transforms (fused qkv split,
+patch-embed conv -> GEMM) against torch on random weights.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tuatara_tpu.config import CraftConfig, ParseqConfig
+from tuatara_tpu.models.craft import init_craft_params
+from tuatara_tpu.models.parseq import init_parseq_params, parseq_encode
+from tuatara_tpu.utils.convert import (
+    convert_craft_state_dict,
+    convert_parseq_state_dict,
+)
+from tuatara_tpu.utils.weights import flatten_tree
+
+
+def _synthetic_craft_sd(rng):
+    """Upstream-shaped CRAFT state_dict (clovaai naming, torchvision vgg16_bn
+    feature indices) with random values."""
+    sd = {}
+    chans = [(3, 64), (64, 64), (64, 128), (128, 128),
+             (128, 256), (256, 256), (256, 256),
+             (256, 512), (512, 512), (512, 512), (512, 512), (512, 512)]
+    idxs = [0, 3, 7, 10, 14, 17, 20, 24, 27, 30, 34, 37]
+
+    def slice_of(i):
+        return "slice1" if i < 12 else "slice2" if i < 19 else "slice3" if i < 29 else "slice4"
+
+    for (cin, cout), idx in zip(chans, idxs):
+        b = f"basenet.{slice_of(idx)}.{idx}"
+        sd[f"{b}.weight"] = rng.standard_normal((cout, cin, 3, 3), dtype=np.float32)
+        sd[f"{b}.bias"] = rng.standard_normal(cout, dtype=np.float32)
+        bn = f"basenet.{slice_of(idx + 1)}.{idx + 1}"
+        for suffix, val in [("weight", np.ones), ("bias", np.zeros),
+                            ("running_mean", np.zeros), ("running_var", np.ones)]:
+            sd[f"{bn}.{suffix}"] = val(cout, dtype=np.float32)
+    sd["basenet.slice5.1.weight"] = rng.standard_normal((1024, 512, 3, 3), dtype=np.float32)
+    sd["basenet.slice5.1.bias"] = rng.standard_normal(1024, dtype=np.float32)
+    sd["basenet.slice5.2.weight"] = rng.standard_normal((1024, 1024, 1, 1), dtype=np.float32)
+    sd["basenet.slice5.2.bias"] = rng.standard_normal(1024, dtype=np.float32)
+    upspec = [(1536, 512, 256), (768, 256, 128), (384, 128, 64), (192, 64, 32)]
+    for i, (cin, mid, out) in enumerate(upspec, start=1):
+        b = f"upconv{i}.conv"
+        sd[f"{b}.0.weight"] = rng.standard_normal((mid, cin, 1, 1), dtype=np.float32)
+        sd[f"{b}.0.bias"] = rng.standard_normal(mid, dtype=np.float32)
+        for suffix, val in [("weight", np.ones), ("bias", np.zeros),
+                            ("running_mean", np.zeros), ("running_var", np.ones)]:
+            sd[f"{b}.1.{suffix}"] = val(mid, dtype=np.float32)
+        sd[f"{b}.3.weight"] = rng.standard_normal((out, mid, 3, 3), dtype=np.float32)
+        sd[f"{b}.3.bias"] = rng.standard_normal(out, dtype=np.float32)
+        for suffix, val in [("weight", np.ones), ("bias", np.zeros),
+                            ("running_mean", np.zeros), ("running_var", np.ones)]:
+            sd[f"{b}.4.{suffix}"] = val(out, dtype=np.float32)
+    headspec = [(32, 32, 3), (32, 32, 3), (32, 16, 3), (16, 16, 1), (16, 2, 1)]
+    for j, (cin, cout, k) in zip([0, 2, 4, 6, 8], headspec):
+        sd[f"conv_cls.{j}.weight"] = rng.standard_normal((cout, cin, k, k), dtype=np.float32)
+        sd[f"conv_cls.{j}.bias"] = rng.standard_normal(cout, dtype=np.float32)
+    return sd
+
+
+def test_craft_conversion_structure(rng):
+    sd = _synthetic_craft_sd(rng)
+    converted = convert_craft_state_dict(sd)
+    ref = init_craft_params(jax.random.PRNGKey(0))
+    got = {k: v.shape for k, v in flatten_tree(converted).items()}
+    want = {k: v.shape for k, v in flatten_tree(ref).items()}
+    assert got == want
+
+
+def _synthetic_parseq_sd(rng, cfg):
+    D = cfg.embed_dim
+    ph, pw = cfg.patch_size
+    sd = {
+        "encoder.patch_embed.proj.weight": rng.standard_normal((D, 3, ph, pw), dtype=np.float32),
+        "encoder.patch_embed.proj.bias": rng.standard_normal(D, dtype=np.float32),
+        "encoder.pos_embed": rng.standard_normal((1, cfg.seq_len, D), dtype=np.float32) * 0.02,
+        "encoder.norm.weight": np.ones(D, np.float32),
+        "encoder.norm.bias": np.zeros(D, np.float32),
+        "text_embed.embedding.weight": rng.standard_normal((cfg.num_tokens, D), dtype=np.float32),
+        "pos_queries": rng.standard_normal((1, cfg.max_label_length + 1, D), dtype=np.float32),
+        "decoder.norm.weight": np.ones(D, np.float32),
+        "decoder.norm.bias": np.zeros(D, np.float32),
+        "head.weight": rng.standard_normal((cfg.charset_size + 1, D), dtype=np.float32),
+        "head.bias": rng.standard_normal(cfg.charset_size + 1, dtype=np.float32),
+    }
+    H = int(D * cfg.enc_mlp_ratio)
+    for i in range(cfg.enc_depth):
+        b = f"encoder.blocks.{i}"
+        sd[f"{b}.norm1.weight"] = np.ones(D, np.float32)
+        sd[f"{b}.norm1.bias"] = np.zeros(D, np.float32)
+        sd[f"{b}.attn.qkv.weight"] = rng.standard_normal((3 * D, D), dtype=np.float32)
+        sd[f"{b}.attn.qkv.bias"] = rng.standard_normal(3 * D, dtype=np.float32)
+        sd[f"{b}.attn.proj.weight"] = rng.standard_normal((D, D), dtype=np.float32)
+        sd[f"{b}.attn.proj.bias"] = rng.standard_normal(D, dtype=np.float32)
+        sd[f"{b}.norm2.weight"] = np.ones(D, np.float32)
+        sd[f"{b}.norm2.bias"] = np.zeros(D, np.float32)
+        sd[f"{b}.mlp.fc1.weight"] = rng.standard_normal((H, D), dtype=np.float32)
+        sd[f"{b}.mlp.fc1.bias"] = rng.standard_normal(H, dtype=np.float32)
+        sd[f"{b}.mlp.fc2.weight"] = rng.standard_normal((D, H), dtype=np.float32)
+        sd[f"{b}.mlp.fc2.bias"] = rng.standard_normal(D, dtype=np.float32)
+    Hd = int(D * cfg.dec_mlp_ratio)
+    for i in range(cfg.dec_depth):
+        b = f"decoder.layers.{i}"
+        for attn in ("self_attn", "cross_attn"):
+            sd[f"{b}.{attn}.in_proj_weight"] = rng.standard_normal((3 * D, D), dtype=np.float32)
+            sd[f"{b}.{attn}.in_proj_bias"] = rng.standard_normal(3 * D, dtype=np.float32)
+            sd[f"{b}.{attn}.out_proj.weight"] = rng.standard_normal((D, D), dtype=np.float32)
+            sd[f"{b}.{attn}.out_proj.bias"] = rng.standard_normal(D, dtype=np.float32)
+        for ln in ("norm_q", "norm_c", "norm1", "norm2"):
+            sd[f"{b}.{ln}.weight"] = np.ones(D, np.float32)
+            sd[f"{b}.{ln}.bias"] = np.zeros(D, np.float32)
+        sd[f"{b}.linear1.weight"] = rng.standard_normal((Hd, D), dtype=np.float32)
+        sd[f"{b}.linear1.bias"] = rng.standard_normal(Hd, dtype=np.float32)
+        sd[f"{b}.linear2.weight"] = rng.standard_normal((D, Hd), dtype=np.float32)
+        sd[f"{b}.linear2.bias"] = rng.standard_normal(D, dtype=np.float32)
+    return sd
+
+
+CFG = ParseqConfig(embed_dim=32, enc_depth=2, enc_heads=4, dec_heads=4,
+                   max_label_length=7)
+
+
+def test_parseq_conversion_structure(rng):
+    sd = _synthetic_parseq_sd(rng, CFG)
+    converted = convert_parseq_state_dict(sd, CFG)
+    ref = init_parseq_params(jax.random.PRNGKey(0), CFG)
+    got = {k: v.shape for k, v in flatten_tree(converted).items()}
+    want = {k: v.shape for k, v in flatten_tree(ref).items()}
+    assert got == want
+
+
+def test_patch_embed_conversion_matches_torch_conv(rng):
+    """Converted patch-embed GEMM == torch stride-patch conv."""
+    import torch.nn.functional as F
+
+    cfg = CFG
+    sd = _synthetic_parseq_sd(rng, cfg)
+    params = convert_parseq_state_dict(sd, cfg)
+    img = rng.random((2, 32, 128, 3), np.float32)
+
+    # torch: conv with kernel=stride=patch -> [N, D, gh, gw] -> tokens
+    w = torch.tensor(sd["encoder.patch_embed.proj.weight"])
+    b = torch.tensor(sd["encoder.patch_embed.proj.bias"])
+    x = torch.tensor(np.transpose(img, (0, 3, 1, 2)))
+    y = F.conv2d(x, w, b, stride=cfg.patch_size)
+    tokens_t = y.flatten(2).transpose(1, 2).numpy()  # [N, gh*gw, D]
+
+    from tuatara_tpu.models import layers as L
+
+    n = img.shape[0]
+    gh, gw = 32 // cfg.patch_size[0], 128 // cfg.patch_size[1]
+    xj = jnp.array(img).reshape(n, gh, cfg.patch_size[0], gw, cfg.patch_size[1], 3)
+    xj = xj.transpose(0, 1, 3, 2, 4, 5).reshape(n, gh * gw, -1)
+    tokens_j = L.linear({"w": jnp.array(params["patch_embed"]["w"]),
+                         "b": jnp.array(params["patch_embed"]["b"])},
+                        xj, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(tokens_j), tokens_t, rtol=1e-4, atol=1e-4)
+
+
+def test_qkv_split_matches_torch_mha(rng):
+    """Fused in_proj split == torch nn.MultiheadAttention."""
+    D, heads = 32, 4
+    wq = rng.standard_normal((3 * D, D), dtype=np.float32)
+    bq = rng.standard_normal(3 * D, dtype=np.float32)
+    wo = rng.standard_normal((D, D), dtype=np.float32)
+    bo = rng.standard_normal(D, dtype=np.float32)
+
+    from tuatara_tpu.models import layers as L
+    from tuatara_tpu.utils.convert import _split_qkv
+
+    p = _split_qkv(wq, bq, D)
+    p["o"] = {"w": wo.T, "b": bo}
+
+    xq = rng.standard_normal((2, 5, D), dtype=np.float32)
+    xkv = rng.standard_normal((2, 9, D), dtype=np.float32)
+    y = L.mha({k: {kk: jnp.array(vv) for kk, vv in v.items()} for k, v in p.items()},
+              jnp.array(xq), jnp.array(xkv), heads, compute_dtype=jnp.float32)
+
+    m = torch.nn.MultiheadAttention(D, heads, batch_first=True)
+    with torch.no_grad():
+        m.in_proj_weight.copy_(torch.tensor(wq))
+        m.in_proj_bias.copy_(torch.tensor(bq))
+        m.out_proj.weight.copy_(torch.tensor(wo))
+        m.out_proj.bias.copy_(torch.tensor(bo))
+        yt, _ = m(torch.tensor(xq), torch.tensor(xkv), torch.tensor(xkv))
+    np.testing.assert_allclose(np.asarray(y), yt.numpy(), rtol=1e-4, atol=1e-4)

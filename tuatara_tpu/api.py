@@ -1,0 +1,324 @@
+"""Engine + public API: image in -> word boxes + transcripts out.
+
+TPU-native replacement for the reference's single god-function
+`image_to_data` (tuatara.cpp:314-512). Architectural differences, all
+deliberate (SURVEY.md §7):
+
+* Models are loaded/initialized ONCE per engine and stay device-resident
+  (the reference reloads both TorchScript files from disk on every call —
+  tuatara.cpp:333-340, 423-432).
+* The whole detection stage — resize/pad, CRAFT forward, heatmap
+  post-processing, box fitting, coordinate scaling and crop extraction — is
+  ONE jitted program per input shape; heatmaps, labels and crops never leave
+  HBM. Crops come out compacted (valid-first) so recognition runs on the
+  smallest bucket that covers the live box count.
+* Recognition is a single batched PARSEQ program over the crop slab (the
+  reference runs 4-crop chunks on 6 host threads — tuatara.cpp:450-475; here
+  the batch dimension is the parallelism, and shards over a device mesh via
+  tuatara_tpu.parallel).
+* Greedy token ids are computed on device; only (ids, bbox, count) cross
+  back to the host, where the tokenizer assembles strings.
+
+Error handling: typed exceptions in place of the reference's
+print-and-return-empty (tuatara.cpp:315-347) — ValueError for bad inputs,
+FileNotFoundError for missing weights.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tuatara_tpu.config import CraftConfig, OcrConfig, ParseqConfig, DEFAULT_CONFIG
+from tuatara_tpu.models.craft import craft_forward, init_craft_params
+from tuatara_tpu.models.parseq import init_parseq_params, parseq_forward
+from tuatara_tpu.ops.boxes import extract_boxes, scale_boxes, tesseract_bbox
+from tuatara_tpu.ops.resize import detect_canvas, pad32, resize_geometry
+from tuatara_tpu.ops.warp import crop_rects, extract_crops
+from tuatara_tpu.tokenizer import Tokenizer
+
+logger = logging.getLogger("tuatara_tpu")
+
+
+class OcrEngine:
+    """Persistent two-stage OCR engine (CRAFT detect + PARSEQ recognize)."""
+
+    def __init__(
+        self,
+        config: OcrConfig = DEFAULT_CONFIG,
+        craft_config: CraftConfig = CraftConfig(),
+        parseq_config: Optional[ParseqConfig] = None,
+        weights_dir: Optional[str] = None,
+        seed: int = 0,
+        mesh=None,
+    ):
+        """`mesh`: optional jax.sharding.Mesh with a 'dp' axis; when given,
+        page batches and crop slabs shard across it (tuatara_tpu.parallel)."""
+        self.mesh = mesh
+        self.config = config
+        self.craft_config = craft_config
+        self.parseq_config = parseq_config or ParseqConfig(
+            max_label_length=config.max_label_length
+        )
+        self.tokenizer = Tokenizer(reference_charset=config.reference_charset)
+
+        if weights_dir:
+            from tuatara_tpu.utils import weights as W
+
+            craft_p, parseq_p = W.load_weights_dir(weights_dir)
+            self.craft_params = jax.device_put(craft_p)
+            self.parseq_params = jax.device_put(parseq_p)
+            logger.info("loaded weights from %s", weights_dir)
+        else:
+            k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+            self.craft_params = init_craft_params(k1, self.craft_config)
+            self.parseq_params = init_parseq_params(k2, self.parseq_config)
+            logger.warning(
+                "no weights_dir given: engine initialized with RANDOM weights "
+                "(transcripts will be meaningless; throughput is unaffected)"
+            )
+
+        self._detect_fns: Dict[Tuple[int, int, int], Any] = {}
+        self._recognize_fns: Dict[int, Any] = {}
+        self.last_timings: Dict[str, float] = {}
+
+    # ------------------------------------------------------------------
+    # Stage programs (compiled once per shape, cached)
+    # ------------------------------------------------------------------
+
+    def _detect_fn(self, batch: int, h: int, w: int):
+        key = (batch, h, w)
+        if key in self._detect_fns:
+            return self._detect_fns[key]
+
+        cfg = self.config
+        ccfg = self.craft_config
+        th, tw, ratio = resize_geometry(h, w, cfg)
+        ch2, cw2 = pad32(th, cfg.size_multiple) // 2, pad32(tw, cfg.size_multiple) // 2
+        hm = cfg.canvas_size // cfg.ratio_net
+        content_mask = (
+            (jnp.arange(hm) < ch2)[:, None] & (jnp.arange(hm) < cw2)[None, :]
+        )
+
+        def one_page(params, image):
+            canvas, _, _ = detect_canvas(image, cfg)
+            craft_in = canvas[..., ::-1] if cfg.channel_mode == "python" else canvas
+            scores, _ = craft_forward(params, craft_in, ccfg)
+            out = extract_boxes(scores[0, :, :, 0], scores[0, :, :, 1],
+                                content_mask, cfg)
+            scaled = scale_boxes(out["boxes"], ratio, cfg)
+            bbox = tesseract_bbox(scaled)
+            rects = crop_rects(scaled, h, w)
+            crops = extract_crops(image.astype(jnp.float32), rects,
+                                  cfg.rec_height, cfg.rec_width)
+            if cfg.channel_mode == "cpp":
+                crops = crops[..., ::-1]
+            # Compact: valid boxes first, preserving component (raster) order.
+            order = jnp.argsort(~out["valid"], stable=True)
+            return {
+                "bbox": bbox[order],
+                "valid": out["valid"][order],
+                "crops": crops[order],
+                "count": out["count"],
+            }
+
+        def detect(params, images):
+            return jax.vmap(lambda im: one_page(params, im))(images)
+
+        detect = self._jit(detect)
+        self._detect_fns[key] = detect
+        return detect
+
+    def _jit(self, fn):
+        sh = self._shardings()
+        return jax.jit(fn) if sh is None else jax.jit(fn, in_shardings=sh)
+
+    def _shardings(self):
+        """(replicated params, dp-sharded batch) when a mesh is attached."""
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return (NamedSharding(self.mesh, P()), NamedSharding(self.mesh, P("dp")))
+
+    @property
+    def dp_size(self) -> int:
+        return 1 if self.mesh is None else self.mesh.shape.get("dp", 1)
+
+    def _recognize_fn(self, n: int):
+        if n in self._recognize_fns:
+            return self._recognize_fns[n]
+        pcfg = self.parseq_config
+
+        def recognize(params, crops):
+            logits = parseq_forward(params, crops, pcfg)
+            ids = jnp.argmax(logits, axis=-1)
+            # Sequence confidence: product of per-position max softmax prob
+            # up to (and including) the first EOS.
+            probs = jax.nn.softmax(logits, axis=-1)
+            pmax = jnp.max(probs, axis=-1)
+            eos = ids == 0
+            before_eos = jnp.cumsum(eos.astype(jnp.int32), axis=-1) - eos.astype(jnp.int32) == 0
+            conf = jnp.prod(jnp.where(before_eos, pmax, 1.0), axis=-1)
+            return ids, conf
+
+        recognize = self._jit(recognize)
+        self._recognize_fns[n] = recognize
+        return recognize
+
+    def _bucket(self, count: int) -> int:
+        for b in self.config.rec_buckets:
+            if count <= b and b <= self.config.max_boxes:
+                return b
+        return self.config.max_boxes
+
+    # ------------------------------------------------------------------
+    # Public entry points
+    # ------------------------------------------------------------------
+
+    def run(self, image: np.ndarray, outputs_dir: Optional[str] = None) -> List[Dict]:
+        """OCR one image -> [{"text": str, "bbox": [x0, y0, x1, y1]}].
+
+        `image`: [H, W, 3] uint8, RGB (the reference Python-binding contract,
+        bindings/python.cpp:12-28 + run_ocr.py:88-91). `outputs_dir` is
+        accepted for signature parity and ignored, as in the reference
+        (validated-but-unused, tuatara.cpp:320-323).
+        """
+        return self.run_pages(image[None])[0]
+
+    def run_pages(self, images: np.ndarray) -> List[List[Dict]]:
+        """OCR a batch of same-sized pages [B, H, W, 3] uint8 RGB.
+
+        The high-throughput path: detection runs batched, all pages' live
+        crops are recognized in one PARSEQ slab, results are split per page.
+        """
+        images = np.asarray(images)
+        if images.ndim == 3:
+            images = images[None]
+        if images.ndim != 4 or images.shape[-1] != 3:
+            raise ValueError(f"expected [B, H, W, 3] uint8 image batch, got {images.shape}")
+        if images.size == 0:
+            raise ValueError("empty image")
+        b, h, w = images.shape[:3]
+
+        # With a mesh attached, the page batch pads to a dp multiple so the
+        # dp-sharded program divides evenly; padding pages are dropped below.
+        b_real = b
+        dp = self.dp_size
+        if b % dp:
+            pad_pages = dp - b % dp
+            images = np.concatenate(
+                [images, np.zeros((pad_pages, h, w, 3), images.dtype)], axis=0
+            )
+            b = images.shape[0]
+
+        t0 = time.perf_counter()
+        with jax.profiler.TraceAnnotation("tuatara_detect"):
+            det = self._detect_fn(b, h, w)(self.craft_params, jnp.asarray(images))
+            counts = np.asarray(det["count"])  # syncs
+        t1 = time.perf_counter()
+
+        # Gather live crops across pages into one recognition slab.
+        crops = det["crops"]
+        K = self.config.max_boxes
+        slabs = []
+        spans = []
+        for i in range(b_real):
+            c = int(counts[i])
+            spans.append(c)
+            if c:
+                slabs.append(crops[i, :c])
+        results: List[List[Dict]] = [[] for _ in range(b_real)]
+        if not slabs:
+            self.last_timings = {"detect_s": t1 - t0, "recognize_s": 0.0, "decode_s": 0.0}
+            return results
+
+        slab = jnp.concatenate(slabs, axis=0) if len(slabs) > 1 else slabs[0]
+        total = slab.shape[0]
+        bucket = self._bucket(total) if total <= self.config.max_boxes else pad32(total, 32)
+        pad_n = bucket - total
+        if pad_n:
+            slab = jnp.pad(slab, ((0, pad_n), (0, 0), (0, 0), (0, 0)))
+        if self.mesh is not None:
+            # Slicing/concat above leaves the slab with an incompatible
+            # committed sharding; re-commit to the dp layout the recognition
+            # program expects.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            slab = jax.device_put(slab, NamedSharding(self.mesh, P("dp")))
+
+        with jax.profiler.TraceAnnotation("tuatara_recognize"):
+            ids, conf = self._recognize_fn(bucket)(self.parseq_params, slab)
+            ids = np.asarray(ids)
+            conf = np.asarray(conf)
+        t2 = time.perf_counter()
+
+        with jax.profiler.TraceAnnotation("tuatara_decode"):
+            texts = self.tokenizer.decode_ids(ids[:total])
+            bboxes = np.asarray(det["bbox"])
+            off = 0
+            for i in range(b_real):
+                c = spans[i]
+                for j in range(c):
+                    results[i].append({
+                        "text": texts[off + j],
+                        "bbox": [float(v) for v in bboxes[i, j]],
+                        "confidence": float(conf[off + j]),
+                    })
+                off += c
+        t3 = time.perf_counter()
+
+        self.last_timings = {
+            "detect_s": t1 - t0,
+            "recognize_s": t2 - t1,
+            "decode_s": t3 - t2,
+            "boxes": int(counts.sum()),
+        }
+        logger.info("ocr timings %s", self.last_timings)
+        return results
+
+    def warmup(self, h: int, w: int, batch: int = 1) -> None:
+        """Pre-compile the stage programs for a page shape."""
+        dummy = np.zeros((batch, h, w, 3), np.uint8)
+        self.run_pages(dummy)
+
+
+# ---------------------------------------------------------------------------
+# Module-level convenience API (reference surface parity)
+# ---------------------------------------------------------------------------
+
+_engines: Dict[Tuple, OcrEngine] = {}
+
+
+def get_engine(
+    config: OcrConfig = DEFAULT_CONFIG, weights_dir: Optional[str] = None
+) -> OcrEngine:
+    key = (config, weights_dir or "")
+    if key not in _engines:
+        _engines[key] = OcrEngine(config, weights_dir=weights_dir)
+    return _engines[key]
+
+
+def image_to_data(
+    image: np.ndarray,
+    weights_dir: Optional[str] = None,
+    outputs_dir: Optional[str] = None,
+    config: OcrConfig = DEFAULT_CONFIG,
+) -> List[Dict]:
+    """Extract text and bounding boxes from an image.
+
+    Same contract as `pytuatara.image_to_data` (bindings/python.cpp:54-58):
+    3-D uint8 RGB array in, list of {text, bbox} dicts out — plus a
+    confidence field. Engines are cached per (config, weights_dir); models
+    load once per process, not per call.
+    """
+    image = np.asarray(image)
+    if image.ndim != 3:
+        raise ValueError("Input array should have 3 dimensions")
+    return get_engine(config, weights_dir).run(image, outputs_dir)

@@ -1,0 +1,93 @@
+"""Command-line interface.
+
+Equivalent of the reference's example binaries (examples/resume.cpp:7-12,
+examples/table.cpp:7-11): positional `image [weights_dir] [outputs_dir]`
+in the same argv order, plus flags the reference hardcodes. Prints one JSON
+object per detected word; optionally writes the annotated render the demo
+script produced (bindings/run_ocr.py:95-98).
+
+    tuatara-ocr image.png ./weights ./outputs --annotate out.png
+    python -m tuatara_tpu image.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tuatara-ocr",
+        description="TPU-native two-stage OCR (CRAFT detect + PARSEQ recognize)",
+    )
+    p.add_argument("image", help="input image path")
+    p.add_argument("weights_dir", nargs="?", default=None,
+                   help="directory with craft.npz/parseq.npz (omit: random weights)")
+    p.add_argument("outputs_dir", nargs="?", default=None,
+                   help="accepted for reference-CLI parity; unused")
+    p.add_argument("--annotate", metavar="PNG",
+                   help="write a 3-panel annotated render (boxes/text/reading order)")
+    p.add_argument("--json-out", metavar="FILE", help="write results as a JSON file")
+    p.add_argument("--canvas-size", type=int, default=None)
+    p.add_argument("--text-threshold", type=float, default=None)
+    p.add_argument("--link-threshold", type=float, default=None)
+    p.add_argument("--low-text", type=float, default=None)
+    p.add_argument("--box-mode", choices=["axis", "rotated"], default=None)
+    p.add_argument("--channel-mode", choices=["python", "cpp", "rgb"], default=None)
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO if args.verbose else logging.WARNING,
+        format="%(name)s %(levelname)s %(message)s",
+    )
+
+    import dataclasses
+
+    from tuatara_tpu.api import get_engine
+    from tuatara_tpu.config import DEFAULT_CONFIG
+    from tuatara_tpu.utils.image import annotate, load_image, save_image
+
+    overrides = {
+        k: v
+        for k, v in {
+            "canvas_size": args.canvas_size,
+            "text_threshold": args.text_threshold,
+            "link_threshold": args.link_threshold,
+            "low_text": args.low_text,
+            "box_mode": args.box_mode,
+            "channel_mode": args.channel_mode,
+        }.items()
+        if v is not None
+    }
+    config = dataclasses.replace(DEFAULT_CONFIG, **overrides)
+
+    image = load_image(args.image)
+    engine = get_engine(config, args.weights_dir)
+    t0 = time.perf_counter()
+    results = engine.run(image, args.outputs_dir)
+    elapsed = time.perf_counter() - t0
+
+    for r in results:
+        print(json.dumps(r))
+    print(f"Elapsed time: {elapsed:.3f} seconds ({len(results)} boxes)",
+          file=sys.stderr)
+
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(results, f, indent=1)
+    if args.annotate:
+        save_image(args.annotate, annotate(image, results))
+        print(f"annotated render -> {args.annotate}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

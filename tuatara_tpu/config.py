@@ -79,9 +79,19 @@ class OcrConfig:
 
     # ---- Batching ----
     page_batch: int = 1            # pages per detect() call
-    # Crop micro-batch for recognition; B*max_boxes crops are processed in
-    # fixed-size slabs so one compiled program serves any page density.
-    rec_batch: int = 256
+    # Recognition runs on the smallest bucket >= the live box count so sparse
+    # pages don't pay for the full box budget; each bucket compiles once.
+    rec_buckets: Tuple[int, ...] = (32, 64, 128, 256)
+
+    # ---- Channel-order parity (SURVEY.md quirk 1) ----
+    # The reference feeds its two models *different* channel orders: the full
+    # image is swapped once before CRAFT (tuatara.cpp:349) and each crop is
+    # swapped again before PARSEQ (tuatara.cpp:441), an involution. With RGB
+    # input (the Python-binding path that produced the golden artifact):
+    #   "python": CRAFT sees BGR, PARSEQ sees RGB  (parity default)
+    #   "cpp":    CRAFT sees RGB, PARSEQ sees BGR  (imread/BGR-input path)
+    #   "rgb":    both models see RGB              (clean mode)
+    channel_mode: str = "python"
 
     @property
     def heatmap_size(self) -> Tuple[int, int]:

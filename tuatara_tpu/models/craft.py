@@ -41,35 +41,49 @@ from tuatara_tpu.models import layers as L
 
 Params = Dict[str, Any]
 
-# (name, cin, cout) for every VGG conv in trunk order, with the pooling /
-# skip-capture schedule encoded by the slice lists below.
-_VGG_CONVS = [
-    ("conv1_1", 3, 64), ("conv1_2", 64, 64),
-    ("conv2_1", 64, 128), ("conv2_2", 128, 128),
-    ("conv3_1", 128, 256), ("conv3_2", 256, 256), ("conv3_3", 256, 256),
-    ("conv4_1", 256, 512), ("conv4_2", 512, 512), ("conv4_3", 512, 512),
-    ("conv5_1", 512, 512), ("conv5_2", 512, 512),
-]
-# Max-pool (stride 2) happens immediately before these convs.
-_POOL_BEFORE = {"conv2_1", "conv3_1", "conv4_1", "conv5_1"}
-# Skip features are captured at the BN output (pre-ReLU) of these convs.
-_SKIPS = {"conv2_2": "f2", "conv3_2": "f3", "conv4_2": "f4", "conv5_2": "f5"}
+# Convs per VGG stage as CRAFT consumes them: full blocks 1-4 plus only the
+# first two convs of block 5 (conv5_3 and the final pool are dropped).
+_STAGE_COUNTS = (2, 2, 3, 3, 2)
+
+
+def _vgg_plan(cfg: CraftConfig):
+    """[(name, cin, cout, pool_before, skip_tag)] trunk table from config.
+
+    Skips are captured at the BN output (pre-ReLU) of the *second* conv of
+    stages 2-5: bn2_2 / bn3_2 / bn4_2 / bn5_2 (f2..f5).
+    """
+    plan = []
+    cin = 3
+    for s, (count, cout) in enumerate(zip(_STAGE_COUNTS, cfg.stage_channels)):
+        for i in range(count):
+            name = f"conv{s + 1}_{i + 1}"
+            skip = f"f{s + 1}" if (s >= 1 and i == 1) else None
+            plan.append((name, cin, cout, s >= 1 and i == 0, skip))
+            cin = cout
+    return plan
 
 
 def init_craft_params(key: jax.Array, cfg: CraftConfig = CraftConfig()) -> Params:
     """Random-init parameter pytree (he-normal convs, identity BN stats)."""
     keys = iter(jax.random.split(key, 64))
     p: Params = {"vgg": {}, "fc": {}, "up": {}, "head": {}}
-    for name, cin, cout in _VGG_CONVS:
+    for name, cin, cout, _, _ in _vgg_plan(cfg):
         p["vgg"][name] = {
             "conv": L.init_conv(next(keys), 3, 3, cin, cout),
             "bn": L.init_batchnorm(cout),
         }
-    p["fc"]["fc6"] = L.init_conv(next(keys), 3, 3, 512, cfg.fc_channels)
+    s = cfg.stage_channels
+    p["fc"]["fc6"] = L.init_conv(next(keys), 3, 3, s[4], cfg.fc_channels)
     p["fc"]["fc7"] = L.init_conv(next(keys), 1, 1, cfg.fc_channels, cfg.fc_channels)
 
-    # Decoder double_conv blocks. Input channels: concat(trunk, skip).
-    in_chs = [cfg.fc_channels + 512, 256 + 512, 128 + 256, 64 + 128]
+    # Decoder double_conv blocks. Input channels: concat(trunk, skip) where
+    # the skips are f5..f2 (stage channels 5..2) top-down.
+    in_chs = [
+        cfg.fc_channels + s[4],
+        cfg.up_channels[0][1] + s[3],
+        cfg.up_channels[1][1] + s[2],
+        cfg.up_channels[2][1] + s[1],
+    ]
     for i, ((mid, out), cin) in enumerate(zip(cfg.up_channels, in_chs), start=1):
         k1, k2 = next(keys), next(keys)
         p["up"][f"upconv{i}"] = {
@@ -121,14 +135,14 @@ def craft_forward(
     eps = cfg.bn_eps
     skips = {}
     h = x
-    for name, _, _ in _VGG_CONVS:
-        if name in _POOL_BEFORE:
+    for name, _, _, pool_before, skip in _vgg_plan(cfg):
+        if pool_before:
             h = L.max_pool(h, 2, 2)
         h = L.batchnorm(params["vgg"][name]["bn"],
                         L.conv2d(params["vgg"][name]["conv"], h, compute_dtype=compute_dtype),
                         eps)
-        if name in _SKIPS:
-            skips[_SKIPS[name]] = h  # pre-ReLU BN output
+        if skip is not None:
+            skips[skip] = h  # pre-ReLU BN output
         h = jax.nn.relu(h)
 
     # fc stage: stride-1 3x3 maxpool, dilated fc6, 1x1 fc7 (no BN/ReLU).

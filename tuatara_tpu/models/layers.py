@@ -59,6 +59,19 @@ def init_conv(key, kh, kw, cin, cout, bias=True) -> Params:
     return p
 
 
+# Mixed-precision policy: in bf16 mode both operands AND outputs are bf16 —
+# the MXU still accumulates fp32 internally, only the stored activation is
+# rounded — which keeps fwd/bwd dtype-consistent so jax.grad works through
+# every op. In fp32 mode, precision=HIGHEST forbids bf16 pass-splitting so
+# results are exact (torch-parity tests rely on this).
+
+
+def _mm_kwargs(compute_dtype):
+    if compute_dtype == jnp.float32:
+        return {"precision": jax.lax.Precision.HIGHEST}
+    return {}
+
+
 def conv2d(
     params: Params,
     x: jnp.ndarray,
@@ -67,7 +80,7 @@ def conv2d(
     dilation: int = 1,
     compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
-    """NHWC conv with HWIO kernel; fp32 accumulation on the MXU."""
+    """NHWC conv with HWIO kernel."""
     w = params["w"].astype(compute_dtype)
     y = jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
@@ -76,13 +89,10 @@ def conv2d(
         padding=padding,
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-        # "highest" keeps fp32 operands exact (no bf16 pass splitting); for
-        # bf16 operands the MXU rate is unchanged.
-        precision=jax.lax.Precision.HIGHEST,
+        **_mm_kwargs(compute_dtype),
     )
     if "b" in params:
-        y = y + params["b"]
+        y = y + params["b"].astype(y.dtype)
     return y
 
 
@@ -152,11 +162,10 @@ def linear(params: Params, x: jnp.ndarray, compute_dtype=jnp.bfloat16) -> jnp.nd
     y = jnp.dot(
         x.astype(compute_dtype),
         params["w"].astype(compute_dtype),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        **_mm_kwargs(compute_dtype),
     )
     if "b" in params:
-        y = y + params["b"]
+        y = y + params["b"].astype(y.dtype)
     return y
 
 
@@ -222,20 +231,18 @@ def attention_core(
             "bhqd,bhkd->bhqk",
             q.astype(compute_dtype),
             k.astype(compute_dtype),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+            **_mm_kwargs(compute_dtype),
+        ).astype(jnp.float32)
         * scale
     )
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.float32(-1e30))
-    p = jax.nn.softmax(logits, axis=-1)
+    p = jax.nn.softmax(logits, axis=-1)  # fp32 softmax
     return jnp.einsum(
         "bhqk,bhkd->bhqd",
         p.astype(compute_dtype),
         v.astype(compute_dtype),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        **_mm_kwargs(compute_dtype),
     )
 
 

@@ -1,0 +1,151 @@
+"""Training losses for both model families.
+
+The reference ships no training at all (models arrive as opaque TorchScript,
+SURVEY.md §5.4); this subsystem makes the rebuilt framework self-sufficient:
+it can (re)train the recognizer — e.g. the extended-charset/space-character
+retrain the reference README lists as TODO — and fine-tune the detector.
+
+* CRAFT: per-pixel MSE against region/affinity target heatmaps with
+  Online Hard Negative Mining (background pixels are abundant; keep the
+  hardest `neg_ratio` x positives), the standard CRAFT training objective.
+* PARSEQ: permutation language modeling — cross-entropy of the decoder under
+  K sampled factorization orders (always including left-to-right, plus
+  mirrored pairs), the core of the PARSEQ method. Masks are built per
+  permutation: query position q may attend content position c iff c's token
+  precedes q in the permutation order.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tuatara_tpu.config import CraftConfig, ParseqConfig
+from tuatara_tpu.models.craft import craft_forward
+from tuatara_tpu.models.parseq import parseq_decode, parseq_encode
+
+
+# ---------------------------------------------------------------------------
+# CRAFT
+# ---------------------------------------------------------------------------
+
+def craft_loss(
+    params,
+    images: jnp.ndarray,
+    target_heatmaps: jnp.ndarray,
+    confidence: jnp.ndarray | None = None,
+    cfg: CraftConfig = CraftConfig(),
+    neg_ratio: float = 3.0,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """OHEM-balanced MSE on (region, affinity) heatmaps.
+
+    images [B, H, W, 3] in [0,1]; target_heatmaps [B, H/2, W/2, 2];
+    confidence [B, H/2, W/2] optional per-pixel weight (weak-supervision
+    confidence in the CRAFT recipe).
+    """
+    pred, _ = craft_forward(params, images, cfg)
+    err = (pred - target_heatmaps) ** 2  # [B, h, w, 2]
+    if confidence is not None:
+        err = err * confidence[..., None]
+
+    pos = target_heatmaps[..., 0] > 0.1  # region positives
+    per_pixel = err.sum(-1)
+    pos_loss = jnp.where(pos, per_pixel, 0.0)
+    n_pos = jnp.maximum(pos.sum(), 1)
+
+    # OHEM: keep the hardest neg_ratio * n_pos background pixels per batch.
+    neg_vals = jnp.where(pos, -jnp.inf, per_pixel).reshape(-1)
+    k = neg_vals.shape[0]
+    sorted_negs = jnp.sort(neg_vals)[::-1]
+    n_neg = jnp.minimum((neg_ratio * n_pos).astype(jnp.int32), k)
+    thresh = sorted_negs[jnp.clip(n_neg - 1, 0, k - 1)]
+    neg_keep = (~pos) & (per_pixel >= thresh) & jnp.isfinite(per_pixel)
+    neg_loss = jnp.where(neg_keep, per_pixel, 0.0)
+
+    loss = (pos_loss.sum() + neg_loss.sum()) / (n_pos + jnp.maximum(neg_keep.sum(), 1))
+    return loss, {"craft_pos": pos_loss.sum() / n_pos, "craft_n_pos": n_pos}
+
+
+# ---------------------------------------------------------------------------
+# PARSEQ permutation language modeling
+# ---------------------------------------------------------------------------
+
+def gen_permutations(key: jax.Array, max_len: int, k_perms: int) -> jnp.ndarray:
+    """[K, max_len] factorization orders over label positions 1..max_len.
+
+    Row 0 is always left-to-right; odd rows are the mirror (reverse) of the
+    preceding row, matching PARSEQ's perm_mirrored recipe.
+    """
+    lr = jnp.arange(1, max_len + 1)
+    rows = [lr]
+    n_random = max(0, (k_perms - 1 + 1) // 2 - 0)
+    keys = jax.random.split(key, max(n_random, 1))
+    while len(rows) < k_perms:
+        if len(rows) % 2 == 1:
+            rows.append(rows[-1][::-1])  # mirror of previous
+        else:
+            r = jax.random.permutation(keys[(len(rows) // 2 - 1) % len(keys)], lr)
+            rows.append(r)
+    return jnp.stack(rows[:k_perms])
+
+
+def perm_attention_masks(perm: jnp.ndarray, max_len: int):
+    """Masks for one factorization order `perm` [max_len] of positions
+    1..max_len (position 0 = BOS, position max_len+1 = EOS slot).
+
+    Returns (query_mask [T, T], ) where T = max_len + 1 content slots
+    (BOS + max_len tokens); query q (predicting the token at output slot q,
+    i.e. content slot q+1) may attend content c iff c==0 (BOS) or c's token
+    comes before q+1's token in `perm`.
+    """
+    T = max_len + 1
+    # rank[p] = position of content-slot p (1..max_len) in the permutation.
+    rank = jnp.zeros((max_len + 2,), jnp.int32)
+    rank = rank.at[perm].set(jnp.arange(max_len, dtype=jnp.int32) + 1)
+    # content slot c has rank[c] (BOS rank 0); query for output slot q
+    # corresponds to the token at content slot q+1 with rank[q+1].
+    q_rank = rank[jnp.arange(1, T + 1).clip(0, max_len + 1)]  # [T]
+    q_rank = jnp.where(jnp.arange(T) == max_len, max_len + 1, q_rank)  # EOS slot: sees all
+    c_rank = rank[jnp.arange(T).clip(0, max_len)]  # [T], slot0=BOS rank 0
+    return c_rank[None, :] < q_rank[:, None]  # [T_query, T_content]
+
+
+def parseq_plm_loss(
+    params,
+    images: jnp.ndarray,
+    labels: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    key: jax.Array,
+    cfg: ParseqConfig = ParseqConfig(),
+    k_perms: int = 6,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Permutation-LM cross-entropy.
+
+    images [N, 32, 128, 3] in [0,1]; labels [N, max_len+2] =
+    [BOS, chars..., EOS, PAD...] (tokenizer.encode layout); label_lengths [N]
+    = chars + EOS count.
+    """
+    N = images.shape[0]
+    T = cfg.max_label_length + 1
+    memory = parseq_encode(params, images, cfg)
+
+    tgt_in = labels[:, :T]          # [BOS, chars...]
+    tgt_out = labels[:, 1 : T + 1]  # [chars..., EOS, PAD...]
+    steps = jnp.arange(T)[None]
+    loss_mask = steps < label_lengths[:, None]  # include EOS position
+
+    perms = gen_permutations(key, cfg.max_label_length, k_perms)
+
+    def one_perm(perm):
+        qmask = perm_attention_masks(perm, cfg.max_label_length)[None, None]
+        logits = parseq_decode(params, memory, tgt_in, cfg, query_mask=qmask)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tok_lp = jnp.take_along_axis(logp, tgt_out[..., None].clip(0, logits.shape[-1] - 1), axis=-1)[..., 0]
+        return -(tok_lp * loss_mask).sum()
+
+    total = jnp.sum(jax.vmap(one_perm)(perms))
+    denom = jnp.maximum(loss_mask.sum() * k_perms, 1)
+    loss = total / denom
+    return loss, {"parseq_ce": loss}

@@ -1,0 +1,203 @@
+"""Weight conversion: reference TorchScript / PyTorch checkpoints -> pytrees.
+
+The reference's models are opaque TorchScript artifacts downloaded from HF
+(setup.sh:6; loaded at tuatara.cpp:333-336, 423-432). This module converts
+their parameters once into the engine's npz pytree format
+(utils/weights.py), after which no torch dependency remains at serving time.
+
+Name maps target the public upstream networks the artifacts were traced from:
+* CRAFT (clovaai/CRAFT-pytorch): `basenet.sliceN.<torchvision-vgg16_bn
+  index>` for the backbone, `upconvN.conv.<index>` double-convs,
+  `conv_cls.<index>` head.
+* PARSEQ (baudm/parseq): timm ViT encoder (`encoder.blocks.N...`, fused qkv)
+  and the dual-stream decoder (`decoder.layers.0...`,
+  nn.MultiheadAttention fused in_proj).
+
+Layout transforms: conv OIHW -> HWIO; linear [out, in] -> [in, out]; fused
+qkv/in_proj tensors split into separate q/k/v projections; the patch-embed
+conv becomes the patchify GEMM's [ph*pw*3, D] matrix (feature order
+(ph, pw, c), matching models/parseq.py's reshape).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict
+
+import numpy as np
+
+from tuatara_tpu.config import CraftConfig, ParseqConfig
+
+
+def _conv(w, b=None) -> Dict[str, np.ndarray]:
+    p = {"w": np.transpose(np.asarray(w), (2, 3, 1, 0)).astype(np.float32)}
+    if b is not None:
+        p["b"] = np.asarray(b).astype(np.float32)
+    return p
+
+
+def _bn(sd, prefix) -> Dict[str, np.ndarray]:
+    return {
+        "scale": np.asarray(sd[f"{prefix}.weight"], np.float32),
+        "bias": np.asarray(sd[f"{prefix}.bias"], np.float32),
+        "mean": np.asarray(sd[f"{prefix}.running_mean"], np.float32),
+        "var": np.asarray(sd[f"{prefix}.running_var"], np.float32),
+    }
+
+
+def _linear(sd, prefix) -> Dict[str, np.ndarray]:
+    p = {"w": np.asarray(sd[f"{prefix}.weight"], np.float32).T}
+    if f"{prefix}.bias" in sd:
+        p["b"] = np.asarray(sd[f"{prefix}.bias"], np.float32)
+    return p
+
+
+def _ln(sd, prefix) -> Dict[str, np.ndarray]:
+    return {
+        "scale": np.asarray(sd[f"{prefix}.weight"], np.float32),
+        "bias": np.asarray(sd[f"{prefix}.bias"], np.float32),
+    }
+
+
+# torchvision vgg16_bn conv feature-indices in trunk order, and the CRAFT
+# slice each index lives in (slice1: [0,12), slice2: [12,19), slice3:
+# [19,29), slice4: [29,39)).
+_VGG_CONV_IDX = [0, 3, 7, 10, 14, 17, 20, 24, 27, 30, 34, 37]
+_VGG_NAMES = [
+    "conv1_1", "conv1_2", "conv2_1", "conv2_2",
+    "conv3_1", "conv3_2", "conv3_3",
+    "conv4_1", "conv4_2", "conv4_3", "conv5_1", "conv5_2",
+]
+
+
+def _slice_of(idx: int) -> str:
+    if idx < 12:
+        return "slice1"
+    if idx < 19:
+        return "slice2"
+    if idx < 29:
+        return "slice3"
+    return "slice4"
+
+
+def convert_craft_state_dict(sd: Dict[str, Any], cfg: CraftConfig = CraftConfig()):
+    """clovaai-CRAFT state_dict -> tuatara_tpu CRAFT param pytree."""
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    p: Dict[str, Any] = {"vgg": {}, "fc": {}, "up": {}, "head": {}}
+    for idx, name in zip(_VGG_CONV_IDX, _VGG_NAMES):
+        base = f"basenet.{_slice_of(idx)}.{idx}"
+        p["vgg"][name] = {
+            "conv": _conv(sd[f"{base}.weight"], sd.get(f"{base}.bias")),
+            "bn": _bn(sd, f"basenet.{_slice_of(idx + 1)}.{idx + 1}"),
+        }
+    p["fc"]["fc6"] = _conv(sd["basenet.slice5.1.weight"], sd.get("basenet.slice5.1.bias"))
+    p["fc"]["fc7"] = _conv(sd["basenet.slice5.2.weight"], sd.get("basenet.slice5.2.bias"))
+    for i in range(1, 5):
+        base = f"upconv{i}.conv"
+        p["up"][f"upconv{i}"] = {
+            "conv1": _conv(sd[f"{base}.0.weight"], sd.get(f"{base}.0.bias")),
+            "bn1": _bn(sd, f"{base}.1"),
+            "conv2": _conv(sd[f"{base}.3.weight"], sd.get(f"{base}.3.bias")),
+            "bn2": _bn(sd, f"{base}.4"),
+        }
+    for j, idx in enumerate([0, 2, 4, 6, 8], start=1):
+        p["head"][f"conv{j}"] = _conv(
+            sd[f"conv_cls.{idx}.weight"], sd.get(f"conv_cls.{idx}.bias")
+        )
+    return p
+
+
+def _split_qkv(w, b, dim: int):
+    """Fused [3D, D] qkv / in_proj -> separate q/k/v linear params."""
+    w = np.asarray(w, np.float32)
+    out = {}
+    for i, name in enumerate(("q", "k", "v")):
+        p = {"w": w[i * dim:(i + 1) * dim].T}
+        if b is not None:
+            p["b"] = np.asarray(b, np.float32)[i * dim:(i + 1) * dim]
+        out[name] = p
+    return out
+
+
+def convert_parseq_state_dict(sd: Dict[str, Any], cfg: ParseqConfig = ParseqConfig()):
+    """baudm-PARSEQ state_dict -> tuatara_tpu PARSEQ param pytree."""
+    sd = {re.sub(r"^model\.", "", k): v for k, v in sd.items()}
+    D = cfg.embed_dim
+    ph, pw = cfg.patch_size
+
+    pe_w = np.asarray(sd["encoder.patch_embed.proj.weight"], np.float32)  # [D,3,ph,pw]
+    p: Dict[str, Any] = {
+        "patch_embed": {
+            "w": np.transpose(pe_w, (2, 3, 1, 0)).reshape(ph * pw * 3, D),
+            "b": np.asarray(sd["encoder.patch_embed.proj.bias"], np.float32),
+        },
+        "pos_embed": np.asarray(sd["encoder.pos_embed"], np.float32),
+        "enc": [],
+        "enc_norm": _ln(sd, "encoder.norm"),
+        "text_embed": np.asarray(sd["text_embed.embedding.weight"], np.float32),
+        "pos_queries": np.asarray(sd["pos_queries"], np.float32),
+        "dec": [],
+        "dec_norm": _ln(sd, "decoder.norm"),
+        "head": _linear(sd, "head"),
+    }
+    for i in range(cfg.enc_depth):
+        b = f"encoder.blocks.{i}"
+        attn = _split_qkv(sd[f"{b}.attn.qkv.weight"], sd.get(f"{b}.attn.qkv.bias"), D)
+        attn["o"] = _linear(sd, f"{b}.attn.proj")
+        p["enc"].append({
+            "norm1": _ln(sd, f"{b}.norm1"),
+            "attn": attn,
+            "norm2": _ln(sd, f"{b}.norm2"),
+            "mlp": {"fc1": _linear(sd, f"{b}.mlp.fc1"),
+                    "fc2": _linear(sd, f"{b}.mlp.fc2")},
+        })
+    for i in range(cfg.dec_depth):
+        b = f"decoder.layers.{i}"
+        sa = _split_qkv(sd[f"{b}.self_attn.in_proj_weight"],
+                        sd.get(f"{b}.self_attn.in_proj_bias"), D)
+        sa["o"] = _linear(sd, f"{b}.self_attn.out_proj")
+        ca = _split_qkv(sd[f"{b}.cross_attn.in_proj_weight"],
+                        sd.get(f"{b}.cross_attn.in_proj_bias"), D)
+        ca["o"] = _linear(sd, f"{b}.cross_attn.out_proj")
+        p["dec"].append({
+            "norm_q": _ln(sd, f"{b}.norm_q"),
+            "norm_c": _ln(sd, f"{b}.norm_c"),
+            "self_attn": sa,
+            "norm1": _ln(sd, f"{b}.norm1"),
+            "cross_attn": ca,
+            "norm2": _ln(sd, f"{b}.norm2"),
+            "linear1": _linear(sd, f"{b}.linear1"),
+            "linear2": _linear(sd, f"{b}.linear2"),
+        })
+    return p
+
+
+def convert_torchscript_weights(
+    reference_weights_dir: str,
+    out_weights_dir: str,
+    craft_cfg: CraftConfig = CraftConfig(),
+    parseq_cfg: ParseqConfig = ParseqConfig(),
+) -> None:
+    """One-shot conversion of the reference's weights_dir (TorchScript
+    artifacts, names per tuatara.cpp:333/423) into the engine's npz format."""
+    import os
+
+    import torch
+
+    from tuatara_tpu.utils.weights import save_weights_dir
+
+    craft_m = torch.jit.load(
+        os.path.join(reference_weights_dir, "craft_traced_torchscript_model.pt"),
+        map_location="cpu",
+    )
+    parseq_m = torch.jit.load(
+        os.path.join(reference_weights_dir, "parseq_torchscript.bin"),
+        map_location="cpu",
+    )
+    craft_sd = {k: v.numpy() for k, v in craft_m.state_dict().items()}
+    parseq_sd = {k: v.numpy() for k, v in parseq_m.state_dict().items()}
+    save_weights_dir(
+        out_weights_dir,
+        convert_craft_state_dict(craft_sd, craft_cfg),
+        convert_parseq_state_dict(parseq_sd, parseq_cfg),
+    )

@@ -1,0 +1,91 @@
+"""Weight persistence and registry.
+
+The reference re-loads both TorchScript models from disk on every
+`image_to_data` call (tuatara.cpp:333-340, 423-432 — SURVEY.md quirk 6). Here
+model parameters are a plain JAX pytree persisted as a flat .npz, loaded once
+per process by the engine registry (tuatara_tpu.api), and device-resident for
+their lifetime.
+
+Layout: one npz per model (`craft.npz`, `parseq.npz`) inside a weights
+directory — the same directory-shaped contract as the reference's
+weights_dir. Keys are '/'-joined pytree paths; list entries use their index.
+Conversion from the reference's TorchScript artifacts lives in
+utils/convert.py.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+import numpy as np
+
+CRAFT_FILE = "craft.npz"
+PARSEQ_FILE = "parseq.npz"
+
+
+def flatten_tree(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_tree(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(flatten_tree(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def unflatten_tree(flat: Dict[str, np.ndarray]) -> Any:
+    """Inverse of flatten_tree. Integer-keyed levels become lists."""
+    root: Dict[str, Any] = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def to_lists(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(k.isdigit() for k in node):
+            return [to_lists(node[str(i)]) for i in range(len(node))]
+        return {k: to_lists(v) for k, v in node.items()}
+
+    return to_lists(root)
+
+
+def save_params(path: str, params: Any) -> None:
+    np.savez(path, **flatten_tree(params))
+
+
+def load_params(path: str) -> Any:
+    with np.load(path) as z:
+        return unflatten_tree({k: z[k] for k in z.files})
+
+
+def weights_available(weights_dir: str) -> bool:
+    return (
+        bool(weights_dir)
+        and os.path.isfile(os.path.join(weights_dir, CRAFT_FILE))
+        and os.path.isfile(os.path.join(weights_dir, PARSEQ_FILE))
+    )
+
+
+def save_weights_dir(weights_dir: str, craft_params: Any, parseq_params: Any) -> None:
+    os.makedirs(weights_dir, exist_ok=True)
+    save_params(os.path.join(weights_dir, CRAFT_FILE), craft_params)
+    save_params(os.path.join(weights_dir, PARSEQ_FILE), parseq_params)
+
+
+def load_weights_dir(weights_dir: str):
+    if not weights_available(weights_dir):
+        raise FileNotFoundError(
+            f"weights_dir {weights_dir!r} must contain {CRAFT_FILE} and {PARSEQ_FILE}"
+        )
+    return (
+        load_params(os.path.join(weights_dir, CRAFT_FILE)),
+        load_params(os.path.join(weights_dir, PARSEQ_FILE)),
+    )
