@@ -41,16 +41,25 @@ def main() -> int:
 
     engine = OcrEngine()
 
-    # --- end-to-end pages/sec ---
+    # --- end-to-end pages/sec (pipelined serving loop: H2D overlaps compute) ---
     for _ in range(WARMUP):
         engine.run_pages(pages)
     t0 = time.perf_counter()
-    boxes = 0
-    for _ in range(ITERS):
-        results = engine.run_pages(pages)
-        boxes += sum(len(r) for r in results)
+    all_results = engine.run_stream([pages] * ITERS)
     dt = time.perf_counter() - t0
+    boxes = sum(len(r) for batch in all_results for r in batch) // ITERS
     pages_per_sec = PAGES * ITERS / dt
+
+    # --- compute-only pages/sec (device-resident input; what non-tunnel
+    # hardware with PCIe/DMA ingest would see end-to-end) ---
+    import jax
+
+    pages_dev = jax.device_put(pages)
+    engine.run_pages(pages_dev)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        engine.run_pages(pages_dev)
+    compute_pages_per_sec = PAGES * ITERS / (time.perf_counter() - t0)
 
     # --- recognizer ms/crop at a full 256-crop slab ---
     import jax.numpy as jnp
@@ -70,8 +79,9 @@ def main() -> int:
         "value": round(pages_per_sec, 3),
         "unit": "pages/sec",
         "vs_baseline": round(pages_per_sec / TARGET_PAGES_PER_SEC, 4),
+        "compute_pages_per_sec": round(compute_pages_per_sec, 3),
         "ms_per_crop_parseq": round(ms_per_crop, 4),
-        "boxes_per_run": boxes // ITERS,
+        "boxes_per_run": boxes,
         "page_batch": PAGES,
         "device": str(jax.devices()[0]),
         "timings_last": {k: round(v, 4) if isinstance(v, float) else v

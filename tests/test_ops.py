@@ -111,15 +111,18 @@ def test_label_components_snake():
 
 
 def test_compact_labels_budget():
-    """Components beyond the budget get ids >= K (dropped downstream)."""
+    """Components beyond the budget get id K (dropped downstream); ids are
+    assigned in raster order of each component's first pixel (cv2 order)."""
     m = np.zeros((8, 8), bool)
     m[::2, ::2] = True  # 16 isolated pixels
     labels, _ = label_components(jnp.array(m))
     comp, ncomp = compact_labels(labels, 16)
     assert int(ncomp) == 16
+    ids = np.asarray(comp)[m]
+    assert sorted(ids) == list(range(16))  # raster order, dense
     comp4, _ = compact_labels(labels, 4)
-    ids = np.asarray(comp4)[m]
-    assert (ids >= 0).all() and ids.max() == 15  # dense ids, budget enforced in segments
+    ids4 = np.asarray(comp4)[m]
+    assert (ids4[:4] == [0, 1, 2, 3]).all() and (ids4[4:] == 4).all()
 
 
 # ---------------------------------------------------------------------------

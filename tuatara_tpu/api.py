@@ -60,6 +60,15 @@ class OcrEngine:
     ):
         """`mesh`: optional jax.sharding.Mesh with a 'dp' axis; when given,
         page batches and crop slabs shard across it (tuatara_tpu.parallel)."""
+        # Persistent compilation cache: the stage programs are large; caching
+        # them across processes cuts cold start from minutes to seconds.
+        if jax.config.jax_compilation_cache_dir is None:
+            import os
+
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.expanduser("~/.cache/tuatara_tpu_xla"),
+            )
         self.mesh = mesh
         self.config = config
         self.craft_config = craft_config
@@ -197,8 +206,11 @@ class OcrEngine:
 
         The high-throughput path: detection runs batched, all pages' live
         crops are recognized in one PARSEQ slab, results are split per page.
+        Device-resident (jax.Array) input is passed through without a host
+        round-trip — pair with `prefetch` to overlap H2D with compute.
         """
-        images = np.asarray(images)
+        if not isinstance(images, jax.Array):
+            images = np.asarray(images)
         if images.ndim == 3:
             images = images[None]
         if images.ndim != 4 or images.shape[-1] != 3:
@@ -213,9 +225,9 @@ class OcrEngine:
         dp = self.dp_size
         if b % dp:
             pad_pages = dp - b % dp
-            images = np.concatenate(
-                [images, np.zeros((pad_pages, h, w, 3), images.dtype)], axis=0
-            )
+            pad = jnp.zeros if isinstance(images, jax.Array) else np.zeros
+            cat = jnp.concatenate if isinstance(images, jax.Array) else np.concatenate
+            images = cat([images, pad((pad_pages, h, w, 3), images.dtype)], axis=0)
             b = images.shape[0]
 
         t0 = time.perf_counter()
@@ -282,6 +294,26 @@ class OcrEngine:
         }
         logger.info("ocr timings %s", self.last_timings)
         return results
+
+    def run_stream(self, batches) -> "list[List[List[Dict]]]":
+        """OCR an iterable of same-shaped page batches, overlapping each
+        batch's host->device transfer with the previous batch's compute
+        (`jax.device_put` is asynchronous on TPU). This is the serving-loop
+        pattern; per-batch results are returned in order."""
+        out = []
+        it = iter(batches)
+        try:
+            nxt = jax.device_put(jnp.asarray(next(it)))
+        except StopIteration:
+            return out
+        while nxt is not None:
+            cur = nxt
+            try:
+                nxt = jax.device_put(jnp.asarray(next(it)))  # async H2D
+            except StopIteration:
+                nxt = None
+            out.append(self.run_pages(cur))
+        return out
 
     def warmup(self, h: int, w: int, batch: int = 1) -> None:
         """Pre-compile the stage programs for a page shape."""

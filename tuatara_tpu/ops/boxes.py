@@ -4,15 +4,23 @@ TPU-native rebuild of the reference's `get_detected_boxes`
 (tuatara.cpp:119-204) + `adjust_result_coordinates` (tuatara.cpp:236-253).
 The reference's per-component serial OpenCV loop (mask building, minMaxLoc,
 dilate, findNonZero, minAreaRect — O(components x H*W)) becomes a constant
-number of whole-image vectorized passes plus fixed-size segment reductions:
+number of whole-image vectorized passes. Crucially for TPU, the rewrite is
+**gather- and scatter-free**: per-component statistics are fused reductions
+over one-hot comparisons of the label image against the K component root
+values (`labels == roots[k]`), which the VPU streams at full rate, instead of
+`segment_*` scatters that serialize.
+
+Pipeline:
 
 1. Min-max normalize region/affinity maps over the content extent
    (tuatara.cpp:120-121), binarize at `low_text` / `link_threshold`
    (tuatara.cpp:131-132, cv::THRESH_BINARY => strictly greater).
 2. Combined score = union of the two binary maps (tuatara.cpp:136-137),
    intersected with the content mask (TPU canvas padding is excluded).
-3. Connected components (4-conn) via the iterative device labeler.
-4. Per-component stats as `segment_*` reductions over dense component ids:
+3. Connected components via gather-free segmented-scan labeling
+   (ops/connected_components.py); component identities are the K
+   raster-first root label values (cv2 label order).
+4. Per-component stats from one-hot row/column presence profiles:
    area, full bbox, peak region score, and the bbox of the *reduced* pixel
    set (component minus link-only pixels, tuatara.cpp:160).
 5. The reference's per-component square dilation (tuatara.cpp:162-174) is
@@ -46,19 +54,14 @@ import jax
 import jax.numpy as jnp
 
 from tuatara_tpu.config import OcrConfig
-from tuatara_tpu.ops.connected_components import compact_labels, label_components
+from tuatara_tpu.ops.connected_components import component_roots, label_components
 
 _INF = jnp.float32(1e30)
 
 
-def _masked_minmax(x: jnp.ndarray, mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _normalize(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     mn = jnp.min(jnp.where(mask, x, _INF))
     mx = jnp.max(jnp.where(mask, x, -_INF))
-    return mn, mx
-
-
-def _normalize(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    mn, mx = _masked_minmax(x, mask)
     return (x - mn) / jnp.maximum(mx - mn, 1e-12)
 
 
@@ -72,6 +75,27 @@ def _niter(area, w, h, mode: str):
         return jnp.sqrt((q * 2).astype(jnp.float32)).astype(jnp.int32)
     q = area.astype(jnp.float32) * minwh / jnp.maximum(w * h, 1)
     return (jnp.sqrt(q) * 2).astype(jnp.int32)
+
+
+def _profiles(match: jnp.ndarray):
+    """Row/column presence+count profiles of a [H, W, K] membership tensor.
+
+    Returns (row_any [H,K], col_any [W,K], area [K]) as fused reductions —
+    XLA streams the one-hot comparison straight into the sums, so the
+    [H, W, K] tensor is never materialized.
+    """
+    rows = jnp.sum(match, axis=1)  # [H, K] counts
+    area = jnp.sum(rows, axis=0)
+    cols = jnp.sum(match, axis=0)  # [W, K]
+    return rows > 0, cols > 0, area
+
+
+def _extent(any_profile: jnp.ndarray, size: int):
+    """(first, last) set index per column of a [size, K] boolean profile."""
+    pos = jnp.arange(size, dtype=jnp.int32)[:, None]
+    first = jnp.min(jnp.where(any_profile, pos, size), axis=0)
+    last = jnp.max(jnp.where(any_profile, pos, -1), axis=0)
+    return first, last
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -101,36 +125,27 @@ def extract_boxes(
     comb = text_bin | link_bin
 
     labels, cc_iters = label_components(comb, cfg.cc_max_iters)
-    comp2d, ncomp = compact_labels(labels, K)
-    comp = comp2d.reshape(-1)
-    fg = comp >= 0
+    roots, ncomp = component_roots(labels, K)
 
-    xs = jnp.tile(jnp.arange(W, dtype=jnp.int32)[None], (H, 1)).reshape(-1)
-    ys = jnp.tile(jnp.arange(H, dtype=jnp.int32)[:, None], (1, W)).reshape(-1)
-    seg_ids = jnp.where(fg, comp, K)  # background -> dropped (>= num_segments)
+    member = labels[:, :, None] == roots[None, None, :]  # [H, W, K]
+    row_any, col_any, area = _profiles(member.astype(jnp.int32))
+    t, b = _extent(row_any, H)
+    l, r = _extent(col_any, W)
 
-    ones = fg.astype(jnp.int32)
-    area = jax.ops.segment_sum(ones, seg_ids, num_segments=K)
-    l = jax.ops.segment_min(jnp.where(fg, xs, W), seg_ids, num_segments=K)
-    r = jax.ops.segment_max(jnp.where(fg, xs, -1), seg_ids, num_segments=K)
-    t = jax.ops.segment_min(jnp.where(fg, ys, H), seg_ids, num_segments=K)
-    b = jax.ops.segment_max(jnp.where(fg, ys, -1), seg_ids, num_segments=K)
-    peak = jax.ops.segment_max(
-        jnp.where(fg, tn.reshape(-1), -_INF), seg_ids, num_segments=K
+    peak = jnp.max(
+        jnp.where(member, tn[:, :, None], -_INF), axis=(0, 1)
     )
 
     # Reduced set: component minus link-only pixels (tuatara.cpp:160).
-    keep = fg & ~(link_bin & ~text_bin).reshape(-1)
-    rseg = jnp.where(keep, comp, K)
-    rcount = jax.ops.segment_sum(keep.astype(jnp.int32), rseg, num_segments=K)
-    rl = jax.ops.segment_min(jnp.where(keep, xs, W), rseg, num_segments=K)
-    rr = jax.ops.segment_max(jnp.where(keep, xs, -1), rseg, num_segments=K)
-    rt = jax.ops.segment_min(jnp.where(keep, ys, H), rseg, num_segments=K)
-    rb = jax.ops.segment_max(jnp.where(keep, ys, -1), rseg, num_segments=K)
+    keep2d = ~(link_bin & ~text_bin)
+    reduced = member & keep2d[:, :, None]
+    rrow_any, rcol_any, rcount = _profiles(reduced.astype(jnp.int32))
+    rt, rb = _extent(rrow_any, H)
+    rl, rr = _extent(rcol_any, W)
 
     w_full = r - l + 1
     h_full = b - t + 1
-    niter = _niter(area, w_full, h_full, cfg.niter_mode)
+    niter = _niter(area.astype(jnp.int32), w_full, h_full, cfg.niter_mode)
     # OpenCV dilate with a KxK kernel (K = 1+niter) and default center anchor
     # ax = K//2 grows a set by ax to the right/bottom and K-1-ax to the
     # left/top (dst(x) covers src(x-dx) for dx in [-(K-1-ax), ax]).
@@ -138,8 +153,10 @@ def extract_boxes(
     grow_rb = (niter + 1) // 2
 
     # Content extent (for ROI clamping at the reference's heatmap edge).
-    cw = jnp.max(jnp.where(content_mask, xs.reshape(H, W), -1)) + 1
-    ch = jnp.max(jnp.where(content_mask, ys.reshape(H, W), -1)) + 1
+    xs1 = jnp.arange(W, dtype=jnp.int32)
+    ys1 = jnp.arange(H, dtype=jnp.int32)
+    cw = jnp.max(jnp.where(content_mask.any(0), xs1, -1)) + 1
+    ch = jnp.max(jnp.where(content_mask.any(1), ys1, -1)) + 1
 
     x0 = jnp.maximum(rl - grow_lt, 0)
     y0 = jnp.maximum(rt - grow_lt, 0)
@@ -150,7 +167,7 @@ def extract_boxes(
         (area >= cfg.min_component_area)
         & (peak >= cfg.text_threshold)
         & (rcount > 0)
-        & (jnp.arange(K) < ncomp)
+        & (roots < jnp.int32(2**30))
     )
 
     boxes = jnp.stack(
@@ -159,19 +176,9 @@ def extract_boxes(
     )
 
     if cfg.box_mode == "rotated":
-        corners = _pca_corners(
-            comp, keep, xs, ys, K, grow_lt, grow_rb, boxes
-        )
+        corners = _pca_corners(member, reduced, H, W, grow_lt, grow_rb, boxes)
     else:
-        corners = jnp.stack(
-            [
-                jnp.stack([boxes[:, 0], boxes[:, 1]], -1),
-                jnp.stack([boxes[:, 2], boxes[:, 1]], -1),
-                jnp.stack([boxes[:, 2], boxes[:, 3]], -1),
-                jnp.stack([boxes[:, 0], boxes[:, 3]], -1),
-            ],
-            axis=1,
-        )
+        corners = _aabb_corners(boxes)
 
     return {
         "boxes": boxes,
@@ -183,34 +190,45 @@ def extract_boxes(
     }
 
 
-def _pca_corners(comp, keep, xs, ys, K, grow_lt, grow_rb, aabb):
+def _aabb_corners(boxes: jnp.ndarray) -> jnp.ndarray:
+    return jnp.stack(
+        [
+            jnp.stack([boxes[:, 0], boxes[:, 1]], -1),
+            jnp.stack([boxes[:, 2], boxes[:, 1]], -1),
+            jnp.stack([boxes[:, 2], boxes[:, 3]], -1),
+            jnp.stack([boxes[:, 0], boxes[:, 3]], -1),
+        ],
+        axis=1,
+    )
+
+
+def _pca_corners(member, reduced, H, W, grow_lt, grow_rb, aabb):
     """PCA-oriented rotated rect per component (approximate minAreaRect).
 
-    Principal axis from second moments of the reduced pixel set, extents from
-    a projection min/max pass, inflated by the dilation radius. For near-axis
-    components the result collapses to the AABB.
+    Principal axis from second moments of the reduced pixel set (fused
+    one-hot reductions), extents from a projection min/max pass, inflated by
+    the dilation radius. For near-axis components the result collapses to
+    the AABB.
     """
-    rseg = jnp.where(keep, comp, K)
-    fx = xs.astype(jnp.float32)
-    fy = ys.astype(jnp.float32)
-    n = jnp.maximum(jax.ops.segment_sum(keep.astype(jnp.float32), rseg, num_segments=K), 1.0)
-    sx = jax.ops.segment_sum(jnp.where(keep, fx, 0.0), rseg, num_segments=K) / n
-    sy = jax.ops.segment_sum(jnp.where(keep, fy, 0.0), rseg, num_segments=K) / n
-    sxx = jax.ops.segment_sum(jnp.where(keep, fx * fx, 0.0), rseg, num_segments=K) / n - sx * sx
-    syy = jax.ops.segment_sum(jnp.where(keep, fy * fy, 0.0), rseg, num_segments=K) / n - sy * sy
-    sxy = jax.ops.segment_sum(jnp.where(keep, fx * fy, 0.0), rseg, num_segments=K) / n - sx * sy
+    K = aabb.shape[0]
+    fx = jnp.arange(W, dtype=jnp.float32)[None, :, None]
+    fy = jnp.arange(H, dtype=jnp.float32)[:, None, None]
+    m = reduced.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(m, axis=(0, 1)), 1.0)
+    sx = jnp.sum(m * fx, axis=(0, 1)) / n
+    sy = jnp.sum(m * fy, axis=(0, 1)) / n
+    sxx = jnp.sum(m * fx * fx, axis=(0, 1)) / n - sx * sx
+    syy = jnp.sum(m * fy * fy, axis=(0, 1)) / n - sy * sy
+    sxy = jnp.sum(m * fx * fy, axis=(0, 1)) / n - sx * sy
     theta = 0.5 * jnp.arctan2(2 * sxy, sxx - syy)
     c, s = jnp.cos(theta), jnp.sin(theta)
 
-    # Projection extents: u along the principal axis, v orthogonal.
-    cu = jnp.take(c, jnp.where(keep, comp, 0))
-    su = jnp.take(s, jnp.where(keep, comp, 0))
-    u = fx * cu + fy * su
-    v = -fx * su + fy * cu
-    umin = jax.ops.segment_min(jnp.where(keep, u, _INF), rseg, num_segments=K)
-    umax = jax.ops.segment_max(jnp.where(keep, u, -_INF), rseg, num_segments=K)
-    vmin = jax.ops.segment_min(jnp.where(keep, v, _INF), rseg, num_segments=K)
-    vmax = jax.ops.segment_max(jnp.where(keep, v, -_INF), rseg, num_segments=K)
+    u = fx * c[None, None, :] + fy * s[None, None, :]
+    v = -fx * s[None, None, :] + fy * c[None, None, :]
+    umin = jnp.min(jnp.where(reduced, u, _INF), axis=(0, 1))
+    umax = jnp.max(jnp.where(reduced, u, -_INF), axis=(0, 1))
+    vmin = jnp.min(jnp.where(reduced, v, _INF), axis=(0, 1))
+    vmax = jnp.max(jnp.where(reduced, v, -_INF), axis=(0, 1))
     # Square dilation inflates projections by at most r*(|c|+|s|).
     infl_lo = grow_lt.astype(jnp.float32) * (jnp.abs(c) + jnp.abs(s))
     infl_hi = grow_rb.astype(jnp.float32) * (jnp.abs(c) + jnp.abs(s))
@@ -224,18 +242,8 @@ def _pca_corners(comp, keep, xs, ys, K, grow_lt, grow_rb, aabb):
         [corner(umin, vmin), corner(umax, vmin), corner(umax, vmax), corner(umin, vmax)],
         axis=1,
     )
-    # Degenerate (empty) components: fall back to the AABB corners.
     bad = ~jnp.isfinite(corners).all(axis=(1, 2))
-    aabb_corners = jnp.stack(
-        [
-            jnp.stack([aabb[:, 0], aabb[:, 1]], -1),
-            jnp.stack([aabb[:, 2], aabb[:, 1]], -1),
-            jnp.stack([aabb[:, 2], aabb[:, 3]], -1),
-            jnp.stack([aabb[:, 0], aabb[:, 3]], -1),
-        ],
-        axis=1,
-    )
-    return jnp.where(bad[:, None, None], aabb_corners, corners)
+    return jnp.where(bad[:, None, None], _aabb_corners(aabb), corners)
 
 
 def scale_boxes(boxes: jnp.ndarray, ratio: float, cfg: OcrConfig) -> jnp.ndarray:
