@@ -61,7 +61,7 @@ def test_scan_decode_matches_full_decode(setup):
     reproduce the scan's logits exactly (same math, different schedule)."""
     params, _, memory = setup
     logits, ids = jax.jit(
-        lambda p, m: parseq_greedy_decode(p, m, CFG, jnp.float32)
+        lambda p, m: parseq_greedy_decode(p, m, CFG, jnp.float32, early_exit=False)
     )(params, memory)
     T = CFG.max_label_length + 1
     bos = CFG.num_tokens - 2
@@ -75,6 +75,28 @@ def test_scan_decode_matches_full_decode(setup):
     )(params, memory, tgt_in)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(full),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_early_exit_matches_full_up_to_eos(setup):
+    """Early-exit while_loop decode agrees with the full scan on every
+    position up to (and including) each sequence's first EOS; later
+    positions are EOS-certain by construction."""
+    params, _, memory = setup
+    lf, idf = jax.jit(
+        lambda p, m: parseq_greedy_decode(p, m, CFG, jnp.float32, early_exit=False)
+    )(params, memory)
+    le, ide = jax.jit(
+        lambda p, m: parseq_greedy_decode(p, m, CFG, jnp.float32, early_exit=True)
+    )(params, memory)
+    idf, ide = np.asarray(idf), np.asarray(ide)
+    for row_f, row_e in zip(idf, ide):
+        # Agreement holds up to each sequence's own first EOS (positions
+        # after it are either identically generated while the batch is still
+        # alive, or EOS-certain filler after the batch stops — both ignored
+        # by truncate-at-EOS decoding).
+        eos_f = np.where(row_f == 0)[0]
+        upto = (eos_f[0] + 1) if len(eos_f) else len(row_f)
+        np.testing.assert_array_equal(row_e[:upto], row_f[:upto])
 
 
 def test_refine_mask_blocks_own_token():

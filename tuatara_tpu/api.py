@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tuatara_tpu.config import CraftConfig, OcrConfig, ParseqConfig, DEFAULT_CONFIG
-from tuatara_tpu.models.craft import craft_forward, init_craft_params
+from tuatara_tpu.models.craft import craft_forward, fold_batchnorms, init_craft_params
 from tuatara_tpu.models.parseq import init_parseq_params, parseq_forward
 from tuatara_tpu.ops.boxes import extract_boxes, scale_boxes, tesseract_bbox
 from tuatara_tpu.ops.resize import detect_canvas, pad32, resize_geometry
@@ -92,6 +92,9 @@ class OcrEngine:
                 "no weights_dir given: engine initialized with RANDOM weights "
                 "(transcripts will be meaningless; throughput is unaffected)"
             )
+        # Serving-path optimization: fold BN into conv weights (identical
+        # outputs up to fp rounding; idempotent on already-folded trees).
+        self.craft_params = fold_batchnorms(self.craft_params)
 
         self._detect_fns: Dict[Tuple[int, int, int], Any] = {}
         self._recognize_fns: Dict[int, Any] = {}
@@ -295,24 +298,31 @@ class OcrEngine:
         logger.info("ocr timings %s", self.last_timings)
         return results
 
-    def run_stream(self, batches) -> "list[List[List[Dict]]]":
+    def run_stream(self, batches, prefetch: int = 2) -> "list[List[List[Dict]]]":
         """OCR an iterable of same-shaped page batches, overlapping each
-        batch's host->device transfer with the previous batch's compute
-        (`jax.device_put` is asynchronous on TPU). This is the serving-loop
-        pattern; per-batch results are returned in order."""
+        batch's host->device transfer with the previous batches' compute
+        (transfers are issued from a background thread, `prefetch` batches
+        ahead). This is the serving-loop pattern; per-batch results are
+        returned in order."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
+
+        def producer():
+            for b in batches:
+                q.put(jax.device_put(jnp.asarray(b)))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
         out = []
-        it = iter(batches)
-        try:
-            nxt = jax.device_put(jnp.asarray(next(it)))
-        except StopIteration:
-            return out
-        while nxt is not None:
-            cur = nxt
-            try:
-                nxt = jax.device_put(jnp.asarray(next(it)))  # async H2D
-            except StopIteration:
-                nxt = None
+        while True:
+            cur = q.get()
+            if cur is None:
+                break
             out.append(self.run_pages(cur))
+        t.join()
         return out
 
     def warmup(self, h: int, w: int, batch: int = 1) -> None:

@@ -102,6 +102,45 @@ def init_craft_params(key: jax.Array, cfg: CraftConfig = CraftConfig()) -> Param
     return p
 
 
+def fold_batchnorms(params: Params) -> Params:
+    """Fold every inference-mode BatchNorm into its preceding conv.
+
+    y = scale*(conv(x)+b - mean)*rsqrt(var+eps) + bias is exactly a conv
+    with w' = w*g and b' = (b-mean)*g + bias where g = scale*rsqrt(var+eps).
+    The BN entries are replaced with identities so the forward graph is
+    unchanged structurally but the per-channel normalization passes vanish
+    (XLA folds the identity BN into the conv epilogue). Serving-path
+    optimization; training keeps live BNs. Jitted as one program — dozens of
+    eager elementwise ops would dominate engine startup on remote backends.
+    """
+    return _fold_batchnorms_jit(params)
+
+
+@jax.jit
+def _fold_batchnorms_jit(params: Params) -> Params:
+    p = jax.tree.map(lambda x: x, params)  # rebuild the tree (leaves shared)
+
+    def fold(conv, bn, eps=1e-5):
+        g = bn["scale"] * jax.lax.rsqrt(bn["var"] + eps)
+        new_conv = {"w": conv["w"] * g[None, None, None, :]}
+        b = conv.get("b", 0.0)
+        new_conv["b"] = (b - bn["mean"]) * g + bn["bias"]
+        ident = {
+            "scale": jnp.ones_like(bn["scale"]),
+            "bias": jnp.zeros_like(bn["bias"]),
+            "mean": jnp.zeros_like(bn["mean"]),
+            "var": jnp.ones_like(bn["var"]) - 1e-5,
+        }
+        return new_conv, ident
+
+    for name, blk in p["vgg"].items():
+        blk["conv"], blk["bn"] = fold(blk["conv"], blk["bn"])
+    for name, blk in p["up"].items():
+        blk["conv1"], blk["bn1"] = fold(blk["conv1"], blk["bn1"])
+        blk["conv2"], blk["bn2"] = fold(blk["conv2"], blk["bn2"])
+    return p
+
+
 def _upsample_to(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """Bilinear upsample with half-pixel (align_corners=False) semantics."""
     return jax.image.resize(
