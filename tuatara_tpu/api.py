@@ -40,7 +40,7 @@ from tuatara_tpu.models.craft import craft_forward, fold_batchnorms, init_craft_
 from tuatara_tpu.models.parseq import init_parseq_params, parseq_forward
 from tuatara_tpu.ops.boxes import extract_boxes, scale_boxes, tesseract_bbox
 from tuatara_tpu.ops.resize import detect_canvas, pad32, resize_geometry
-from tuatara_tpu.ops.warp import crop_rects, extract_crops
+from tuatara_tpu.ops.warp import crop_rects, extract_crops, extract_crops_perspective
 from tuatara_tpu.tokenizer import Tokenizer
 
 logger = logging.getLogger("tuatara_tpu")
@@ -124,11 +124,24 @@ class OcrEngine:
             scores, _ = craft_forward(params, craft_in, ccfg)
             out = extract_boxes(scores[0, :, :, 0], scores[0, :, :, 1],
                                 content_mask, cfg)
-            scaled = scale_boxes(out["boxes"], ratio, cfg)
-            bbox = tesseract_bbox(scaled)
-            rects = crop_rects(scaled, h, w)
-            crops = extract_crops(image.astype(jnp.float32), rects,
-                                  cfg.rec_height, cfg.rec_width)
+            if cfg.box_mode == "rotated":
+                # Rectification path (the improvement the reference TODO'd:
+                # it fits rotated rects but crops axis-aligned —
+                # tuatara.cpp:416): perspective-warp each rotated rect to the
+                # recognition shape; public bbox = AABB of the corners, like
+                # rotated_rect_to_tesseract_format (tuatara.cpp:256-274).
+                scaled_c = scale_boxes(out["corners"], ratio, cfg)
+                bbox = tesseract_bbox(jnp.concatenate(
+                    [scaled_c.min(axis=1), scaled_c.max(axis=1)], axis=-1))
+                crops = extract_crops_perspective(
+                    image.astype(jnp.float32), scaled_c,
+                    cfg.rec_height, cfg.rec_width)
+            else:
+                scaled = scale_boxes(out["boxes"], ratio, cfg)
+                bbox = tesseract_bbox(scaled)
+                rects = crop_rects(scaled, h, w)
+                crops = extract_crops(image.astype(jnp.float32), rects,
+                                      cfg.rec_height, cfg.rec_width)
             if cfg.channel_mode == "cpp":
                 crops = crops[..., ::-1]
             # Compact: valid boxes first, preserving component (raster) order.

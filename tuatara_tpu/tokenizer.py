@@ -46,6 +46,13 @@ REFERENCE_CHARSET = (
 )
 assert len(REFERENCE_CHARSET) == 95
 
+# Extended charset: standard + space. The reference README lists "retrain
+# PARSEQ to support a larger character set; the current model does not
+# support the space character" as TODO (README.md:42); the training stack
+# here (tuatara_tpu.train) supports it out of the box with this charset and
+# ParseqConfig(charset_size=95).
+EXTENDED_CHARSET = STANDARD_CHARSET + " "
+
 
 class Tokenizer:
     """Maps PARSEQ vocab ids to characters and decodes greedy predictions."""
@@ -54,8 +61,12 @@ class Tokenizer:
     EOS = "]"
     PAD = "P"
 
-    def __init__(self, reference_charset: bool = False):
-        charset = REFERENCE_CHARSET if reference_charset else STANDARD_CHARSET
+    def __init__(self, reference_charset: bool = False, charset: str | None = None):
+        """`charset` overrides the character table (e.g. EXTENDED_CHARSET for
+        the space-aware retrain); `reference_charset` selects the
+        bug-compatible 95-char table and is ignored when `charset` given."""
+        if charset is None:
+            charset = REFERENCE_CHARSET if reference_charset else STANDARD_CHARSET
         self.charset = charset
         # itos = [EOS] + charset + [BOS] + [PAD]  (tuatara.cpp:36-39)
         self.itos: str = self.EOS + charset + self.BOS + self.PAD
