@@ -71,6 +71,11 @@ class OcrConfig:
     # `int(sqrt(size * min(w,h) / (w*h)) * 2)`.
     niter_mode: str = "reference"
 
+    # ---- Kernels ----
+    # "auto": use the Pallas postproc kernels (in-VMEM CC labeling, fused
+    # component stats) on TPU when shapes allow; "on"/"off" force.
+    use_pallas: str = "auto"
+
     # ---- Compute ----
     # bfloat16 model compute keeps the MXU fed at 2x fp32 throughput; heatmap
     # post-processing always runs fp32.

@@ -124,24 +124,50 @@ def extract_boxes(
     link_bin = (ln > cfg.link_threshold) & content_mask
     comb = text_bin | link_bin
 
-    labels, cc_iters = label_components(comb, cfg.cc_max_iters)
-    roots, ncomp = component_roots(labels, K)
-
-    member = labels[:, :, None] == roots[None, None, :]  # [H, W, K]
-    row_any, col_any, area = _profiles(member.astype(jnp.int32))
-    t, b = _extent(row_any, H)
-    l, r = _extent(col_any, W)
-
-    peak = jnp.max(
-        jnp.where(member, tn[:, :, None], -_INF), axis=(0, 1)
-    )
-
     # Reduced set: component minus link-only pixels (tuatara.cpp:160).
     keep2d = ~(link_bin & ~text_bin)
-    reduced = member & keep2d[:, :, None]
-    rrow_any, rcol_any, rcount = _profiles(reduced.astype(jnp.int32))
-    rt, rb = _extent(rrow_any, H)
-    rl, rr = _extent(rcol_any, W)
+
+    use_pallas = cfg.use_pallas == "on" or (
+        cfg.use_pallas == "auto"
+        and jax.default_backend() == "tpu"
+        and H * W <= (1 << 20)
+        and H % 8 == 0
+        and K % 128 == 0
+    )
+
+    if use_pallas:
+        from tuatara_tpu.ops.pallas.cc import label_components_pallas
+        from tuatara_tpu.ops.pallas.stats import component_stats
+
+        labels, cc_iters = label_components_pallas(comb, cfg.cc_max_iters)
+        roots, ncomp = component_roots(labels, K)
+        row_cnt, col_cnt, rrow_cnt, rcol_cnt, peak = component_stats(
+            labels, tn, keep2d, roots
+        )
+        area = jnp.sum(row_cnt, axis=0)
+        rcount = jnp.sum(rrow_cnt, axis=0)
+        t, b = _extent(row_cnt > 0, H)
+        l, r = _extent(col_cnt > 0, W)
+        rt, rb = _extent(rrow_cnt > 0, H)
+        rl, rr = _extent(rcol_cnt > 0, W)
+        member = None  # only needed for the rotated-mode moment pass below
+    else:
+        labels, cc_iters = label_components(comb, cfg.cc_max_iters)
+        roots, ncomp = component_roots(labels, K)
+
+        member = labels[:, :, None] == roots[None, None, :]  # [H, W, K]
+        row_any, col_any, area = _profiles(member.astype(jnp.int32))
+        t, b = _extent(row_any, H)
+        l, r = _extent(col_any, W)
+
+        peak = jnp.max(
+            jnp.where(member, tn[:, :, None], -_INF), axis=(0, 1)
+        )
+
+        reduced = member & keep2d[:, :, None]
+        rrow_any, rcol_any, rcount = _profiles(reduced.astype(jnp.int32))
+        rt, rb = _extent(rrow_any, H)
+        rl, rr = _extent(rcol_any, W)
 
     w_full = r - l + 1
     h_full = b - t + 1
@@ -176,6 +202,9 @@ def extract_boxes(
     )
 
     if cfg.box_mode == "rotated":
+        if member is None:  # pallas stats path doesn't materialize membership
+            member = labels[:, :, None] == roots[None, None, :]
+        reduced = member & keep2d[:, :, None]
         corners = _pca_corners(member, reduced, H, W, grow_lt, grow_rb, boxes)
     else:
         corners = _aabb_corners(boxes)
