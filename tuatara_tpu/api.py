@@ -65,9 +65,12 @@ class OcrEngine:
         if jax.config.jax_compilation_cache_dir is None:
             import os
 
+            # Per-backend cache dir: XLA:CPU AOT entries are machine-feature
+            # specific and can SIGILL if reloaded on a different host, so the
+            # cache must never be shared across backends/machines.
             jax.config.update(
                 "jax_compilation_cache_dir",
-                os.path.expanduser("~/.cache/tuatara_tpu_xla"),
+                os.path.expanduser(f"~/.cache/tuatara_tpu_xla_{jax.default_backend()}"),
             )
         self.mesh = mesh
         self.config = config
@@ -98,6 +101,7 @@ class OcrEngine:
 
         self._detect_fns: Dict[Tuple[int, int, int], Any] = {}
         self._recognize_fns: Dict[int, Any] = {}
+        self._slab_fns: Dict[Tuple[int, int, int], Any] = {}
         self.last_timings: Dict[str, float] = {}
 
     # ------------------------------------------------------------------
@@ -197,6 +201,24 @@ class OcrEngine:
         self._recognize_fns[n] = recognize
         return recognize
 
+    def _slab_fn(self, b: int, k: int, bucket: int):
+        """One-dispatch cross-page crop compaction: [B, K, h, w, 3] + valid
+        [B, K] -> [bucket, h, w, 3], live crops first in (page, slot) order.
+        Replaces a per-page slice/concat/pad chain whose dispatch latency
+        dominates on remote backends."""
+        key = (b, k, bucket)
+        if key in self._slab_fns:
+            return self._slab_fns[key]
+
+        def gather(crops, valid):
+            flat = crops.reshape((b * k,) + crops.shape[2:])
+            order = jnp.argsort(~valid.reshape(-1), stable=True)
+            return flat[order[:bucket]]
+
+        fn = jax.jit(gather)
+        self._slab_fns[key] = fn
+        return fn
+
     def _bucket(self, count: int) -> int:
         for b in self.config.rec_buckets:
             if count <= b and b <= self.config.max_boxes:
@@ -252,44 +274,34 @@ class OcrEngine:
             counts = np.asarray(det["count"])  # syncs
         t1 = time.perf_counter()
 
-        # Gather live crops across pages into one recognition slab.
-        crops = det["crops"]
+        # Gather live crops across pages into one recognition slab (a single
+        # jitted compaction dispatch; live crops are already valid-first per
+        # page, so slab order is (page, slot) raster order).
         K = self.config.max_boxes
-        slabs = []
-        spans = []
-        for i in range(b_real):
-            c = int(counts[i])
-            spans.append(c)
-            if c:
-                slabs.append(crops[i, :c])
+        spans = [int(counts[i]) for i in range(b_real)]
+        total = sum(spans)
         results: List[List[Dict]] = [[] for _ in range(b_real)]
-        if not slabs:
+        if total == 0:
             self.last_timings = {"detect_s": t1 - t0, "recognize_s": 0.0, "decode_s": 0.0}
             return results
 
-        slab = jnp.concatenate(slabs, axis=0) if len(slabs) > 1 else slabs[0]
-        total = slab.shape[0]
         bucket = self._bucket(total) if total <= self.config.max_boxes else pad32(total, 32)
-        pad_n = bucket - total
-        if pad_n:
-            slab = jnp.pad(slab, ((0, pad_n), (0, 0), (0, 0), (0, 0)))
+        slab = self._slab_fn(b, K, bucket)(det["crops"], det["valid"])
         if self.mesh is not None:
-            # Slicing/concat above leaves the slab with an incompatible
-            # committed sharding; re-commit to the dp layout the recognition
-            # program expects.
+            # Re-commit to the dp layout the recognition program expects.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             slab = jax.device_put(slab, NamedSharding(self.mesh, P("dp")))
 
         with jax.profiler.TraceAnnotation("tuatara_recognize"):
-            ids, conf = self._recognize_fn(bucket)(self.parseq_params, slab)
-            ids = np.asarray(ids)
-            conf = np.asarray(conf)
+            ids_d, conf_d = self._recognize_fn(bucket)(self.parseq_params, slab)
+            # One combined D2H fetch (each transfer pays full round-trip
+            # latency on remote backends).
+            ids, conf, bboxes = jax.device_get((ids_d, conf_d, det["bbox"]))
         t2 = time.perf_counter()
 
         with jax.profiler.TraceAnnotation("tuatara_decode"):
             texts = self.tokenizer.decode_ids(ids[:total])
-            bboxes = np.asarray(det["bbox"])
             off = 0
             for i in range(b_real):
                 c = spans[i]
