@@ -50,13 +50,18 @@ def test_decode_simple():
     assert tok.decode(dists) == ["Hi5"]
 
 
-def test_decode_reference_mode_keeps_post_eos():
-    """Reference filter() strips EOS ids but keeps later chars (tuatara.cpp:108-116)."""
+def test_decode_reference_mode_semantics():
+    """Faithful bug-compat: the reference's collapsed eos_id (stoi[']'] ==
+    the charset ']' slot, id 88) is DELETED by filter(), while true EOS
+    (id 0) decodes to ']' and trips the live char break — so both modes
+    truncate at true EOS, and only reference mode drops id-88 positions."""
     tok = Tokenizer()
-    ids = [tok.stoi["a"], tok.eos_id, tok.stoi["b"]]
+    slot = tok.stoi["]"]
+    assert slot == 87  # duplicate ']' collapsed to the charset slot, not 0
+    ids = [tok.stoi["a"], slot, tok.stoi["b"], tok.eos_id, tok.stoi["z"]]
     dists = onehot_dists(ids, tok.vocab_size)[None]
-    assert tok.decode(dists, mode="reference") == ["ab"]
-    assert tok.decode(dists, mode="truncate") == ["a"]
+    assert tok.decode(dists, mode="reference") == ["ab"]   # slot deleted, stop at EOS
+    assert tok.decode(dists, mode="truncate") == ["a]b"]   # slot renders ']'
 
 
 def test_decode_raw():
@@ -100,3 +105,13 @@ def test_empty_prediction(mode):
     tok = Tokenizer()
     dists = onehot_dists([tok.eos_id] * 4, tok.vocab_size)[None]
     assert tok.decode(dists, mode=mode) == [""]
+
+
+def test_modes_agree_without_collapsed_slot():
+    """On sequences never emitting the collapsed ']' slot, reference mode and
+    truncate mode produce identical transcripts — the parity statement for
+    ordinary alphanumeric text."""
+    tok = Tokenizer()
+    ids = [tok.stoi[c] for c in "Hello42"] + [tok.eos_id, tok.stoi["x"]]
+    dists = onehot_dists(ids, tok.vocab_size)[None]
+    assert tok.decode(dists, mode="truncate") == tok.decode(dists, mode="reference") == ["Hello42"]

@@ -62,15 +62,14 @@ class OcrEngine:
         page batches and crop slabs shard across it (tuatara_tpu.parallel)."""
         # Persistent compilation cache: the stage programs are large; caching
         # them across processes cuts cold start from minutes to seconds.
-        if jax.config.jax_compilation_cache_dir is None:
+        if jax.config.jax_compilation_cache_dir is None and jax.default_backend() == "tpu":
             import os
 
-            # Per-backend cache dir: XLA:CPU AOT entries are machine-feature
-            # specific and can SIGILL if reloaded on a different host, so the
-            # cache must never be shared across backends/machines.
+            # TPU only: CPU AOT cache entries are machine-feature specific
+            # (SIGILL risk across hosts) and CPU compiles are cheap anyway.
             jax.config.update(
                 "jax_compilation_cache_dir",
-                os.path.expanduser(f"~/.cache/tuatara_tpu_xla_{jax.default_backend()}"),
+                os.path.expanduser("~/.cache/tuatara_tpu_xla_tpu"),
             )
         self.mesh = mesh
         self.config = config

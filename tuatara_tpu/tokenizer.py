@@ -9,18 +9,23 @@ inherently stringy and cheap.
 Vocabulary layout matches the reference (tuatara.cpp:36-39): index 0 is EOS,
 then the charset, then BOS, then PAD.
 
-Two deliberate deviations from the reference, both documented in SURVEY.md §2:
+Reference quirks and this tokenizer's decisions (SURVEY.md §2 quirks 3/8):
 
 * Charset fix: the reference's charset literal (tuatara.cpp:32-34) contains a
   stray backslash between '&' and "'" (the C++ `"\\'"` escape), shifting the
   decode of all 26 punctuation chars after '&'. Default here is the standard
   94-char PARSEQ charset; pass ``reference_charset=True`` for the
   bug-compatible 95-char table.
-* EOS truncation: the reference's `filter` strips *every* EOS position but
-  keeps characters after the first EOS (tuatara.cpp:108-116), making the
-  caller's break-at-EOS loop dead code (tuatara.cpp:497-501). Upstream PARSEQ
-  truncates at the first EOS; we do too. ``mode="reference"`` reproduces the
-  strip-all-EOS behavior.
+* EOS handling: the reference's `stoi[itos[i]] = i` map collapses duplicate
+  characters with later-assignment-wins (tuatara.cpp:41-43). `']'` appears
+  both as the EOS sentinel (index 0) and inside the charset, so the
+  reference's `eos_id` resolves to the charset slot: its `filter`
+  (tuatara.cpp:108-116) silently DELETES positions whose argmax is that slot
+  (not true EOS), while model EOS (id 0) decodes to the character `']'` and
+  trips the caller's break (tuatara.cpp:497-501) — so the reference DOES
+  truncate at the first true EOS. Default ``mode="truncate"`` (stop at id 0)
+  matches both upstream PARSEQ and the reference's observable behavior;
+  ``mode="reference"`` additionally reproduces the charset-slot deletion.
 """
 
 from __future__ import annotations
@@ -103,17 +108,31 @@ class Tokenizer:
     def ids_to_text(self, ids: Sequence[int], mode: str = "truncate") -> str:
         """Convert one sequence of vocab ids to a string.
 
-        mode="truncate": stop at the first EOS (upstream PARSEQ semantics).
-        mode="reference": drop every EOS position, keep the rest, including
-        any ids after the first EOS (tuatara.cpp:108-116 semantics).
+        mode="truncate": stop at the first true EOS (id 0) — upstream PARSEQ
+        semantics, and the reference's observable behavior (its break at the
+        ']' character is live; see module docstring).
+        mode="reference": full bug-compat — positions whose id equals the
+        *collapsed* stoi[']'] slot (the charset ']', id 87 in the standard table — what the
+        reference's filter() mistakes for eos_id) are deleted, then the
+        sequence truncates at the first id decoding to ']' (true EOS).
         """
+        if mode == "reference":
+            collapsed_eos = self.stoi[self.EOS]  # charset ']' slot, not 0
+            out = []
+            for i in ids:
+                i = int(i)
+                if i == collapsed_eos:
+                    continue  # filter() deletion (tuatara.cpp:108-116)
+                ch = self.itos[i]
+                if ch == self.EOS:
+                    break  # live char break (tuatara.cpp:497-501)
+                out.append(ch)
+            return "".join(out)
         out = []
         for i in ids:
             i = int(i)
             if i == self.eos_id:
-                if mode == "truncate":
-                    break
-                continue  # reference mode: strip EOS, keep going
+                break
             out.append(self.itos[i])
         return "".join(out)
 
