@@ -103,6 +103,46 @@ def test_train_step_sharded_matches_single_device():
     assert len(w.sharding.device_set) == 8
 
 
+def test_shard_mid_training_preserves_optimizer_state():
+    """Sharding a mid-training state must keep Adam moments/step (regression:
+    an earlier version re-ran tx.init, silently zeroing them)."""
+    import functools
+
+    rng = np.random.default_rng(0)
+    state, tx = init_train_state(jax.random.PRNGKey(0), TINY_CRAFT, TINY_PARSEQ)
+    batch = _batch(rng, B=4, N=8)
+    stepf = jax.jit(functools.partial(
+        train_step, tx=tx, craft_cfg=TINY_CRAFT, parseq_cfg=TINY_PARSEQ))
+    key = jax.random.PRNGKey(1)
+
+    s1, _ = stepf(state, batch, key)
+    _, m2_plain = stepf(s1, batch, key)
+
+    mesh = make_mesh(8, axes=("dp", "tp"), shape=(4, 2))
+    s1_sharded = shard_train_state(mesh, jax.device_get(s1), tx)
+    _, m2_sharded = stepf(s1_sharded, shard_batch(mesh, batch), key)
+
+    np.testing.assert_allclose(
+        float(m2_plain["loss"]), float(m2_sharded["loss"]), rtol=2e-4)
+
+
+def test_run_stream_propagates_producer_errors():
+    """A bad batch in the stream raises instead of deadlocking."""
+    from tuatara_tpu.api import OcrEngine
+    from tuatara_tpu.config import OcrConfig
+
+    cfg = OcrConfig(canvas_size=128, max_boxes=16, rec_buckets=(16,),
+                    max_label_length=7)
+    eng = OcrEngine(cfg, TINY_CRAFT, TINY_PARSEQ, seed=0)
+
+    def gen():
+        yield np.zeros((1, 64, 64, 3), np.uint8)
+        raise RuntimeError("bad batch source")
+
+    with pytest.raises(RuntimeError, match="bad batch source"):
+        eng.run_stream(gen())
+
+
 def test_engine_with_mesh_matches_unsharded():
     from tuatara_tpu.api import OcrEngine
 

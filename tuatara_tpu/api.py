@@ -57,20 +57,27 @@ class OcrEngine:
         weights_dir: Optional[str] = None,
         seed: int = 0,
         mesh=None,
+        compilation_cache: Optional[str] = "auto",
     ):
         """`mesh`: optional jax.sharding.Mesh with a 'dp' axis; when given,
-        page batches and crop slabs shard across it (tuatara_tpu.parallel)."""
-        # Persistent compilation cache: the stage programs are large; caching
-        # them across processes cuts cold start from minutes to seconds.
-        if jax.config.jax_compilation_cache_dir is None and jax.default_backend() == "tpu":
+        page batches and crop slabs shard across it (tuatara_tpu.parallel).
+
+        `compilation_cache`: persistent XLA compile-cache directory. The
+        stage programs are large; caching across processes cuts cold start
+        from minutes to seconds. "auto" = ~/.cache/tuatara_tpu_xla_tpu on
+        TPU only (CPU AOT entries are machine-feature specific and compiles
+        are cheap); None = never touch the process-global setting; a path =
+        use it. Only applied when no cache dir is already configured."""
+        if compilation_cache is not None and jax.config.jax_compilation_cache_dir is None:
             import os
 
-            # TPU only: CPU AOT cache entries are machine-feature specific
-            # (SIGILL risk across hosts) and CPU compiles are cheap anyway.
-            jax.config.update(
-                "jax_compilation_cache_dir",
-                os.path.expanduser("~/.cache/tuatara_tpu_xla_tpu"),
-            )
+            if compilation_cache != "auto":
+                jax.config.update("jax_compilation_cache_dir", compilation_cache)
+            elif jax.default_backend() == "tpu":
+                jax.config.update(
+                    "jax_compilation_cache_dir",
+                    os.path.expanduser("~/.cache/tuatara_tpu_xla_tpu"),
+                )
         self.mesh = mesh
         self.config = config
         self.craft_config = craft_config
@@ -96,7 +103,9 @@ class OcrEngine:
             )
         # Serving-path optimization: fold BN into conv weights (identical
         # outputs up to fp rounding; idempotent on already-folded trees).
-        self.craft_params = fold_batchnorms(self.craft_params)
+        self.craft_params = fold_batchnorms(
+            self.craft_params, eps=self.craft_config.bn_eps
+        )
 
         self._detect_fns: Dict[Tuple[int, int, int], Any] = {}
         self._recognize_fns: Dict[int, Any] = {}
@@ -285,6 +294,7 @@ class OcrEngine:
             return results
 
         bucket = self._bucket(total) if total <= self.config.max_boxes else pad32(total, 32)
+        bucket = min(bucket, b * K)  # the gather can't produce more rows
         slab = self._slab_fn(b, K, bucket)(det["crops"], det["valid"])
         if self.mesh is not None:
             # Re-commit to the dp layout the recognition program expects.
@@ -317,7 +327,8 @@ class OcrEngine:
             "detect_s": t1 - t0,
             "recognize_s": t2 - t1,
             "decode_s": t3 - t2,
-            "boxes": int(counts.sum()),
+            # spans covers real pages only (dp padding pages are dropped).
+            "boxes": int(sum(spans)),
         }
         logger.info("ocr timings %s", self.last_timings)
         return results
@@ -332,27 +343,43 @@ class OcrEngine:
         import threading
 
         q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
+        _END = object()
 
         def producer():
-            for b in batches:
-                q.put(jax.device_put(jnp.asarray(b)))
-            q.put(None)
+            try:
+                for b in batches:
+                    q.put(jax.device_put(jnp.asarray(b)))
+            except BaseException as e:  # propagate instead of deadlocking
+                q.put(e)
+                return
+            q.put(_END)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         out = []
         while True:
             cur = q.get()
-            if cur is None:
+            if cur is _END:
                 break
+            if isinstance(cur, BaseException):
+                t.join()
+                raise cur
             out.append(self.run_pages(cur))
         t.join()
         return out
 
     def warmup(self, h: int, w: int, batch: int = 1) -> None:
-        """Pre-compile the stage programs for a page shape."""
+        """Pre-compile the stage programs for a page shape.
+
+        A blank dummy page detects zero boxes, so the recognition program is
+        compiled explicitly for the smallest bucket (larger buckets compile
+        on first use)."""
         dummy = np.zeros((batch, h, w, 3), np.uint8)
         self.run_pages(dummy)
+        b0 = self._bucket(1)
+        crops = jnp.zeros((b0, self.config.rec_height, self.config.rec_width, 3),
+                          jnp.float32)
+        jax.block_until_ready(self._recognize_fn(b0)(self.parseq_params, crops))
 
 
 # ---------------------------------------------------------------------------

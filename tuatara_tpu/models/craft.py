@@ -31,6 +31,7 @@ program for the hot path.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Tuple
 
 import jax
@@ -102,7 +103,7 @@ def init_craft_params(key: jax.Array, cfg: CraftConfig = CraftConfig()) -> Param
     return p
 
 
-def fold_batchnorms(params: Params) -> Params:
+def fold_batchnorms(params: Params, eps: float = 1e-5) -> Params:
     """Fold every inference-mode BatchNorm into its preceding conv.
 
     y = scale*(conv(x)+b - mean)*rsqrt(var+eps) + bias is exactly a conv
@@ -112,15 +113,16 @@ def fold_batchnorms(params: Params) -> Params:
     (XLA folds the identity BN into the conv epilogue). Serving-path
     optimization; training keeps live BNs. Jitted as one program — dozens of
     eager elementwise ops would dominate engine startup on remote backends.
+    `eps` must equal the CraftConfig.bn_eps the forward pass uses.
     """
-    return _fold_batchnorms_jit(params)
+    return _fold_batchnorms_jit(params, eps=eps)
 
 
-@jax.jit
-def _fold_batchnorms_jit(params: Params) -> Params:
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _fold_batchnorms_jit(params: Params, eps: float) -> Params:
     p = jax.tree.map(lambda x: x, params)  # rebuild the tree (leaves shared)
 
-    def fold(conv, bn, eps=1e-5):
+    def fold(conv, bn):
         g = bn["scale"] * jax.lax.rsqrt(bn["var"] + eps)
         new_conv = {"w": conv["w"] * g[None, None, None, :]}
         b = conv.get("b", 0.0)
@@ -129,7 +131,8 @@ def _fold_batchnorms_jit(params: Params) -> Params:
             "scale": jnp.ones_like(bn["scale"]),
             "bias": jnp.zeros_like(bn["bias"]),
             "mean": jnp.zeros_like(bn["mean"]),
-            "var": jnp.ones_like(bn["var"]) - 1e-5,
+            # identity under the forward pass's eps: rsqrt((1-eps)+eps) == 1
+            "var": jnp.ones_like(bn["var"]) - eps,
         }
         return new_conv, ident
 

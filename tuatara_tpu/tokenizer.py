@@ -88,15 +88,32 @@ class Tokenizer:
 
     # ---- encoding (used by the trainer; the reference never encodes) ----
 
-    def encode(self, text: str, max_length: int) -> Tuple[np.ndarray, np.ndarray]:
+    def encode(
+        self, text: str, max_length: int, on_oov: str = "error"
+    ) -> Tuple[np.ndarray, np.ndarray]:
         """Encode to ``[BOS, chars..., EOS, PAD...]`` ids of length max_length+2.
 
         Returns (ids, length) where length counts chars + EOS (the label
         positions a training loss should cover).
+
+        Out-of-charset characters raise by default — silently mapping them
+        (e.g. to PAD) would make the training loss optimize toward a wrong
+        class. Pass on_oov="skip" to drop them instead (the reference model's
+        no-space behavior), or use EXTENDED_CHARSET to cover space.
         """
         ids = [self.bos_id]
-        for ch in text[:max_length]:
-            ids.append(self.stoi.get(ch, self.pad_id))
+        for ch in text:
+            if len(ids) > max_length:
+                break
+            idx = self.stoi.get(ch)
+            if idx is None:
+                if on_oov == "skip":
+                    continue
+                raise ValueError(
+                    f"character {ch!r} not in charset; use "
+                    "Tokenizer(charset=EXTENDED_CHARSET) or on_oov='skip'"
+                )
+            ids.append(idx)
         ids.append(self.eos_id)
         n = len(ids) - 1  # label positions: chars + EOS
         while len(ids) < max_length + 2:

@@ -149,8 +149,20 @@ def shard_train_state(
         jax.tree.map(ns, parseq_param_pspecs(state.parseq_params),
                      is_leaf=lambda x: isinstance(x, P)),
     )
-    # tx.init on committed params makes mu/nu inherit the param shardings.
-    opt_state = tx.init({"craft": craft_p, "parseq": parseq_p})
+    # Reshard the EXISTING optimizer state (Adam moments of a resumed run
+    # must survive). Target shardings come from a throwaway tx.init on the
+    # committed params — its tree mirrors opt_state exactly and each leaf is
+    # committed with the matching param's sharding.
+    template = tx.init({"craft": craft_p, "parseq": parseq_p})
+
+    def leaf_sharding(x):
+        # Leaves not derived from params (e.g. Adam's step count) come out of
+        # tx.init on a single device; those replicate over the mesh.
+        s = x.sharding
+        return s if isinstance(s, NamedSharding) else ns(P())
+
+    opt_shardings = jax.tree.map(leaf_sharding, template)
+    opt_state = jax.device_put(state.opt_state, opt_shardings)
     return TrainState(jax.device_put(state.step, ns(P())), craft_p, parseq_p, opt_state)
 
 
