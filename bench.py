@@ -12,11 +12,17 @@ Model weights are randomly initialized (no pretrained checkpoints exist in
 this zero-egress environment); compute cost is identical to trained weights.
 Box count per page depends on weights, so the bench also reports ms/crop for
 the recognizer at a fixed 256-crop slab, the second BASELINE.md metric.
+
+BENCH_FULL=1 additionally times the other BASELINE.md configs (resume single
+image, rotated rectification path, table/multi-size pages) — each page shape
+compiles its own detection program, so the first full run is slow on a cold
+cache.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -74,6 +80,30 @@ def main() -> int:
         rec(engine.parseq_params, crops)[0].block_until_ready()
     ms_per_crop = (time.perf_counter() - t0) / 3 / 256 * 1000
 
+    extras = {}
+    if os.environ.get("BENCH_FULL"):
+        import dataclasses
+
+        from tuatara_tpu.config import DEFAULT_CONFIG
+        from tuatara_tpu.api import OcrEngine as _Eng
+
+        def time_single(path, cfg=None, runs=3):
+            eng = engine if cfg is None else _Eng(cfg)
+            im = load_image(path)
+            eng.run(im)
+            t0 = time.perf_counter()
+            for _ in range(runs):
+                r = eng.run(im)
+            return round(runs / (time.perf_counter() - t0), 3), len(r)
+
+        extras["resume_pages_per_sec"], _ = time_single(
+            "/root/reference/images/resume_example.png")
+        extras["table_pages_per_sec"], _ = time_single(
+            "/root/reference/images/table_english.png")
+        rot_cfg = dataclasses.replace(DEFAULT_CONFIG, box_mode="rotated")
+        extras["rotated_rectify_pages_per_sec"], _ = time_single(
+            "/root/reference/images/rotated_text.png", rot_cfg)
+
     print(json.dumps({
         "metric": "funsd_pages_per_sec_e2e",
         "value": round(pages_per_sec, 3),
@@ -86,6 +116,7 @@ def main() -> int:
         "device": str(jax.devices()[0]),
         "timings_last": {k: round(v, 4) if isinstance(v, float) else v
                          for k, v in engine.last_timings.items()},
+        **extras,
     }))
     return 0
 

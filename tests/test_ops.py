@@ -41,6 +41,25 @@ def test_pad32():
     assert pad32(64) == 64 and pad32(65) == 96 and pad32(1) == 32
 
 
+def test_canvas_shape_bucketing():
+    from tuatara_tpu.ops.resize import canvas_shape
+
+    cfg = OcrConfig()  # canvas 1024, bucket 256
+    ch, cw, conth, contw, ratio = canvas_shape(1000, 754, cfg)
+    # canvas covers content, is bucket-aligned, and never exceeds canvas_size
+    assert ch >= conth and cw >= contw
+    assert ch % 256 == 0 or ch == cfg.canvas_size
+    assert cw % 256 == 0 or cw == cfg.canvas_size
+    assert ch <= 1024 and cw <= 1024
+    # square behavior when bucketing disabled
+    cfg0 = OcrConfig(canvas_bucket=0)
+    ch0, cw0, *_ = canvas_shape(1000, 754, cfg0)
+    assert (ch0, cw0) == (1024, 1024)
+    # small image -> small canvas
+    chs, cws, *_ = canvas_shape(200, 300, OcrConfig())
+    assert (chs, cws) == (256, 512)
+
+
 def test_detect_canvas_content_matches_cv2_resize():
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, (60, 90, 3), dtype=np.uint8)

@@ -123,11 +123,13 @@ class OcrEngine:
 
         cfg = self.config
         ccfg = self.craft_config
-        th, tw, ratio = resize_geometry(h, w, cfg)
-        ch2, cw2 = pad32(th, cfg.size_multiple) // 2, pad32(tw, cfg.size_multiple) // 2
-        hm = cfg.canvas_size // cfg.ratio_net
+        from tuatara_tpu.ops.resize import canvas_shape
+
+        canvas_h, canvas_w, ch, cw, ratio = canvas_shape(h, w, cfg)
+        ch2, cw2 = ch // cfg.ratio_net, cw // cfg.ratio_net
+        hm_h, hm_w = canvas_h // cfg.ratio_net, canvas_w // cfg.ratio_net
         content_mask = (
-            (jnp.arange(hm) < ch2)[:, None] & (jnp.arange(hm) < cw2)[None, :]
+            (jnp.arange(hm_h) < ch2)[:, None] & (jnp.arange(hm_w) < cw2)[None, :]
         )
 
         def one_page(params, image):

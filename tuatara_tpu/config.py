@@ -29,6 +29,10 @@ class OcrConfig:
     canvas_size: int = 1024        # long-side cap for the detection canvas
     mag_ratio: float = 1.0         # magnification before capping
     size_multiple: int = 32        # pad H/W up to a multiple of this
+    # Canvas dims round up to this bucket (0 = always the full square): one
+    # compiled detect program per bucket pair, proportionally less detector
+    # compute for non-square pages; outputs are identical (content-masked).
+    canvas_bucket: int = 256
 
     # ---- Detection post-processing thresholds (reference: tuatara.cpp:397-399) ----
     text_threshold: float = 0.7    # min peak region score to keep a component

@@ -132,6 +132,7 @@ def extract_boxes(
         and jax.default_backend() == "tpu"
         and H * W <= (1 << 20)
         and H % 8 == 0
+        and W % 128 == 0  # stats-kernel block lane width
         and K % 128 == 0
     )
 

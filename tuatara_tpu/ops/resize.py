@@ -39,10 +39,34 @@ def pad32(n: int, multiple: int = 32) -> int:
     return n if n % multiple == 0 else n + (multiple - n % multiple)
 
 
+def canvas_shape(h: int, w: int, cfg: OcrConfig) -> Tuple[int, int, int, int, float]:
+    """Static canvas geometry for an input page shape.
+
+    Returns (canvas_h, canvas_w, content_h, content_w, ratio). The canvas is
+    the content extent rounded up to `canvas_bucket` (capped at canvas_size)
+    so XLA compiles one detection program per bucket pair instead of always
+    paying for the full square — a 1000x754 FUNSD page needs 1024x768, 25%
+    less detector compute than 1024x1024. Results are identical: everything
+    beyond the content extent is masked out of box extraction either way.
+    """
+    th, tw, ratio = resize_geometry(h, w, cfg)
+    ch, cw = pad32(th, cfg.size_multiple), pad32(tw, cfg.size_multiple)
+    c = cfg.canvas_size
+    if ch > c or cw > c:
+        raise ValueError(f"content {ch}x{cw} exceeds canvas {c}")
+    b = cfg.canvas_bucket
+    if b:
+        canvas_h = min(pad32(ch, b), c)
+        canvas_w = min(pad32(cw, b), c)
+    else:
+        canvas_h = canvas_w = c
+    return canvas_h, canvas_w, ch, cw, ratio
+
+
 def detect_canvas(
     image: jnp.ndarray, cfg: OcrConfig
 ) -> Tuple[jnp.ndarray, float, Tuple[int, int]]:
-    """uint8/float [H, W, 3] -> (fp32 canvas [1, C, C, 3] in [0,1], ratio,
+    """uint8/float [H, W, 3] -> (fp32 canvas [1, CH, CW, 3] in [0,1], ratio,
     (content_h, content_w)).
 
     content_h/w are the /32-padded extents the reference would have used as
@@ -50,14 +74,11 @@ def detect_canvas(
     padding and are masked out of box extraction.
     """
     h, w = image.shape[:2]
-    th, tw, ratio = resize_geometry(h, w, cfg)
+    canvas_h, canvas_w, ch, cw, ratio = canvas_shape(h, w, cfg)
+    th, tw, _ = resize_geometry(h, w, cfg)
     x = image.astype(jnp.float32)
     x = jax.image.resize(x, (th, tw, 3), method="bilinear")
-    ch, cw = pad32(th, cfg.size_multiple), pad32(tw, cfg.size_multiple)
-    c = cfg.canvas_size
-    if ch > c or cw > c:
-        raise ValueError(f"content {ch}x{cw} exceeds canvas {c}")
-    x = jnp.pad(x, ((0, c - th), (0, c - tw), (0, 0)))
+    x = jnp.pad(x, ((0, canvas_h - th), (0, canvas_w - tw), (0, 0)))
     return (x / 255.0)[None], ratio, (ch, cw)
 
 
