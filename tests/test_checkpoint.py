@@ -3,6 +3,7 @@
 import functools
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -68,6 +69,23 @@ def test_checkpoint_servable_by_engine(tmp_path, rng):
     img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
     out = eng.run(img)
     assert isinstance(out, list)
+
+
+def test_orbax_roundtrip(tmp_path, rng):
+    pytest.importorskip("orbax.checkpoint")
+    from tuatara_tpu.train.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    state, tx = init_train_state(jax.random.PRNGKey(0), TINY_CRAFT, TINY_PARSEQ)
+    save_checkpoint_orbax(str(tmp_path), state)
+    template, _ = init_train_state(jax.random.PRNGKey(9), TINY_CRAFT, TINY_PARSEQ)
+    back = load_checkpoint_orbax(str(tmp_path), template)
+    for a, b in zip(jax.tree.leaves(state.parseq_params),
+                    jax.tree.leaves(back.parseq_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(back.step) == 0
 
 
 def test_extended_charset_tokenizer():

@@ -63,3 +63,42 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
         return None
     with np.load(meta) as z:
         return int(z["step"])
+
+
+# ---------------------------------------------------------------------------
+# Optional Orbax backend (async, sharded-array aware). The npz format above
+# stays the canonical interchange (servable as a weights_dir); Orbax suits
+# long training runs on multi-chip meshes where per-shard async saves matter.
+# ---------------------------------------------------------------------------
+
+def save_checkpoint_orbax(ckpt_dir: str, state: TrainState) -> None:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            os.path.abspath(os.path.join(ckpt_dir, "orbax")),
+            {
+                "step": state.step,
+                "craft": state.craft_params,
+                "parseq": state.parseq_params,
+                "opt": state.opt_state,
+            },
+            force=True,
+        )
+
+
+def load_checkpoint_orbax(ckpt_dir: str, template: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    target = {
+        "step": template.step,
+        "craft": template.craft_params,
+        "parseq": template.parseq_params,
+        "opt": template.opt_state,
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            os.path.abspath(os.path.join(ckpt_dir, "orbax")), target
+        )
+    return TrainState(restored["step"], restored["craft"],
+                      restored["parseq"], restored["opt"])
