@@ -81,6 +81,17 @@ def test_run_pages_batched_matches_single(engine, rng):
         assert [i["bbox"] for i in b] == [i["bbox"] for i in s]
 
 
+def test_beam_decode_mode(rng):
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY_OCR, decode_mode="beam", beam_size=2)
+    eng = OcrEngine(cfg, TINY_CRAFT, TINY_PARSEQ, seed=0)
+    out = eng.run(_page(rng))
+    for item in out:
+        assert 0.0 <= item["confidence"] <= 1.0
+        assert isinstance(item["text"], str)
+
+
 def test_input_validation():
     with pytest.raises(ValueError):
         image_to_data(np.zeros((4, 4), np.uint8))  # ndim != 3

@@ -14,6 +14,7 @@ import pytest
 from tuatara_tpu.config import ParseqConfig
 from tuatara_tpu.models.parseq import (
     init_parseq_params,
+    parseq_beam_decode,
     parseq_decode,
     parseq_encode,
     parseq_forward,
@@ -97,6 +98,55 @@ def test_early_exit_matches_full_up_to_eos(setup):
         eos_f = np.where(row_f == 0)[0]
         upto = (eos_f[0] + 1) if len(eos_f) else len(row_f)
         np.testing.assert_array_equal(row_e[:upto], row_f[:upto])
+
+
+def test_beam1_matches_greedy(setup):
+    """Beam search with beam_size=1 must reproduce greedy decode's
+    transcript (same argmax path)."""
+    params, _, memory = setup
+    _, gids = jax.jit(
+        lambda p, m: parseq_greedy_decode(p, m, CFG, jnp.float32, early_exit=False)
+    )(params, memory)
+    bids, _ = jax.jit(
+        lambda p, m: parseq_beam_decode(p, m, CFG, beam_size=1,
+                                        compute_dtype=jnp.float32)
+    )(params, memory)
+    gids, bids = np.asarray(gids), np.asarray(bids)
+    for g, b in zip(gids, bids):
+        eos = np.where(g == 0)[0]
+        upto = (eos[0] + 1) if len(eos) else len(g)
+        np.testing.assert_array_equal(b[:upto], g[:upto])
+
+
+def test_beam_search_scores_no_worse_than_greedy(setup):
+    """A wider beam's (unnormalized-comparable) sequence log-prob is >= the
+    greedy path's for every crop."""
+    params, _, memory = setup
+
+    def seq_logprob(ids):
+        # teacher-force and accumulate log p of the chosen tokens up to EOS
+        T = CFG.max_label_length + 1
+        bos = CFG.num_tokens - 2
+        tgt_in = jnp.concatenate(
+            [jnp.full((ids.shape[0], 1), bos, jnp.int32), ids[:, :-1].astype(jnp.int32)], 1)
+        causal = (jnp.arange(T)[None, :] <= jnp.arange(T)[:, None])[None, None]
+        logits = parseq_decode(params, memory, tgt_in, CFG, query_mask=causal,
+                               compute_dtype=jnp.float32)
+        logp = jax.nn.log_softmax(logits, -1)
+        tok_lp = np.asarray(jnp.take_along_axis(logp, ids[..., None], -1)[..., 0])
+        out = []
+        for row_lp, row_ids in zip(tok_lp, np.asarray(ids)):
+            eos = np.where(row_ids == 0)[0]
+            upto = (eos[0] + 1) if len(eos) else len(row_ids)
+            out.append(row_lp[:upto].sum())
+        return np.array(out)
+
+    _, gids = parseq_greedy_decode(params, memory, CFG, jnp.float32, early_exit=False)
+    bids, _ = parseq_beam_decode(params, memory, CFG, beam_size=4,
+                                 compute_dtype=jnp.float32)
+    g_lp = seq_logprob(gids)
+    b_lp = seq_logprob(bids)
+    assert (b_lp >= g_lp - 1e-4).all(), (b_lp, g_lp)
 
 
 def test_refine_mask_blocks_own_token():

@@ -195,7 +195,16 @@ class OcrEngine:
             return self._recognize_fns[n]
         pcfg = self.parseq_config
 
+        mode = self.config.decode_mode
+        beam = self.config.beam_size
+
         def recognize(params, crops):
+            if mode == "beam":
+                from tuatara_tpu.models.parseq import parseq_beam_decode, parseq_encode
+
+                memory = parseq_encode(params, crops, pcfg)
+                ids, score = parseq_beam_decode(params, memory, pcfg, beam)
+                return ids, jnp.exp(score)  # length-normalized seq probability
             logits = parseq_forward(params, crops, pcfg)
             ids = jnp.argmax(logits, axis=-1)
             # Sequence confidence: product of per-position max softmax prob

@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--link-threshold", type=float, default=None)
     p.add_argument("--low-text", type=float, default=None)
     p.add_argument("--box-mode", choices=["axis", "rotated"], default=None)
+    p.add_argument("--decode-mode", choices=["greedy", "beam"], default=None)
+    p.add_argument("--beam-size", type=int, default=None)
     p.add_argument("--channel-mode", choices=["python", "cpp", "rgb"], default=None)
     p.add_argument("-v", "--verbose", action="store_true")
     return p
@@ -63,6 +65,8 @@ def main(argv=None) -> int:
             "link_threshold": args.link_threshold,
             "low_text": args.low_text,
             "box_mode": args.box_mode,
+            "decode_mode": args.decode_mode,
+            "beam_size": args.beam_size,
             "channel_mode": args.channel_mode,
         }.items()
         if v is not None

@@ -52,6 +52,11 @@ class OcrConfig:
     rec_height: int = 32
     rec_width: int = 128
     max_label_length: int = 25     # PARSEQ decode budget (26 steps incl. EOS)
+    # "greedy": AR argmax + cloze refinement (reference/upstream behavior).
+    # "beam": batched beam search (beam_size), length-normalized; refinement
+    # is skipped (it re-reads greedy logits, which beam doesn't produce).
+    decode_mode: str = "greedy"
+    beam_size: int = 4
 
     # ---- Recognition charset ----
     # DELIBERATE FIX of reference quirk: the reference's charset literal

@@ -313,6 +313,115 @@ def parseq_greedy_decode(
     return logits, jnp.argmax(logits, axis=-1)
 
 
+def parseq_beam_decode(
+    params: Params,
+    memory: jnp.ndarray,
+    cfg: ParseqConfig = ParseqConfig(),
+    beam_size: int = 4,
+    compute_dtype=jnp.bfloat16,
+    length_norm: float = 0.6,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched beam search over encoded crops (BASELINE.md config 5).
+
+    Beams fold into the batch dimension ([N*B] everywhere), so the per-step
+    compute is one decoder invocation regardless of beam width; candidate
+    selection is a top-k over (beam x vocab) per sequence. Finished beams
+    (emitted EOS) are frozen: they propose only an EOS continuation at zero
+    incremental log-prob. Returns (ids [N, T], scores [N]) for the best beam
+    under GNMT-style length normalization ((5+len)/6)^length_norm.
+    """
+    if cfg.dec_depth != 1:
+        raise NotImplementedError("beam decode assumes dec_depth == 1")
+    layer = params["dec"][0]
+    eps = cfg.layer_norm_eps
+    N, S, D = memory.shape
+    H = cfg.dec_heads
+    hd = D // H
+    T = cfg.max_label_length + 1
+    C = cfg.charset_size + 1
+    B = beam_size
+    bos_id = cfg.num_tokens - 2
+    NB = N * B
+
+    mem_rep = jnp.repeat(memory, B, axis=0)  # [NB, S, D]
+    mem_k, mem_v = L.mha_kv(layer["cross_attn"], mem_rep, H, compute_dtype)
+    pos_q = params["pos_queries"][0]
+
+    def step_logits(tokens, k_cache, v_cache, i):
+        """One decoder step for all beams: returns log-probs [NB, C]."""
+        tok_i = jax.lax.dynamic_slice(tokens, (0, i), (NB, 1))[:, 0]
+        e = _embed_tokens(params, tok_i, D)
+        pidx = jnp.maximum(i - 1, 0)
+        e = e + jnp.where(i >= 1, pos_q[pidx], 0.0)
+        cn = L.layernorm(layer["norm_c"], e[:, None], eps)
+        k_i = L.linear(layer["self_attn"]["k"], cn, compute_dtype)
+        v_i = L.linear(layer["self_attn"]["v"], cn, compute_dtype)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k_i.reshape(NB, 1, H, hd).transpose(0, 2, 1, 3).astype(k_cache.dtype),
+            (0, 0, i, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v_i.reshape(NB, 1, H, hd).transpose(0, 2, 1, 3).astype(v_cache.dtype),
+            (0, 0, i, 0))
+        q = jnp.broadcast_to(jax.lax.dynamic_slice(pos_q, (i, 0), (1, D))[None], (NB, 1, D))
+        mask = jnp.arange(T)[None, None, None, :] <= i
+        qn = L.layernorm(layer["norm_q"], q, eps)
+        x = q + L.mha_with_kv(layer["self_attn"], qn, k_cache, v_cache, H, mask, compute_dtype)
+        cn2 = L.layernorm(layer["norm1"], x, eps)
+        x = x + L.mha_with_kv(layer["cross_attn"], cn2, mem_k, mem_v, H, None, compute_dtype)
+        x = _dec_ff(layer, x, eps, compute_dtype)
+        x = L.layernorm(params["dec_norm"], x, eps)
+        logits = L.linear(params["head"], x, compute_dtype)[:, 0]
+        return jax.nn.log_softmax(logits.astype(jnp.float32), -1), k_cache, v_cache
+
+    def body(carry, i):
+        tokens, k_cache, v_cache, scores, done = carry
+        logp, k_cache, v_cache = step_logits(tokens, k_cache, v_cache, i)
+        # Frozen beams: only EOS continues, at zero cost.
+        frozen = jnp.full((NB, C), -jnp.inf).at[:, 0].set(0.0)
+        logp = jnp.where(done[:, None], frozen, logp)
+        # Degenerate duplicate start: at step 0 every beam of a sequence is
+        # identical; allow only beam 0 to propose.
+        first = (jnp.arange(NB) % B == 0)[:, None]
+        logp = jnp.where((i == 0) & ~first, -jnp.inf, logp)
+
+        cand = scores[:, None] + logp                      # [NB, C]
+        cand = cand.reshape(N, B * C)
+        top_s, top_i = jax.lax.top_k(cand, B)              # [N, B]
+        src_beam = top_i // C                              # [N, B]
+        tok = (top_i % C).astype(jnp.int32)
+
+        # Reorder beam state by winning parent beam.
+        gather_idx = (jnp.arange(N)[:, None] * B + src_beam).reshape(-1)
+        tokens = jnp.take(tokens, gather_idx, axis=0)
+        k_cache = jnp.take(k_cache, gather_idx, axis=0)
+        v_cache = jnp.take(v_cache, gather_idx, axis=0)
+        done = jnp.take(done, gather_idx, axis=0)
+
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, tok.reshape(NB, 1), (0, i + 1))
+        done = done | (tok.reshape(-1) == 0)
+        return (tokens, k_cache, v_cache, top_s.reshape(-1), done), None
+
+    tokens0 = jnp.full((NB, T + 1), bos_id, jnp.int32)
+    k0 = jnp.zeros((NB, H, T, hd), jnp.float32)
+    v0 = jnp.zeros((NB, H, T, hd), jnp.float32)
+    scores0 = jnp.zeros((NB,), jnp.float32)
+    done0 = jnp.zeros((NB,), bool)
+    (tokens, _, _, scores, done), _ = jax.lax.scan(
+        body, (tokens0, k0, v0, scores0, done0), jnp.arange(T))
+
+    ids = tokens[:, 1:].reshape(N, B, T)
+    # Length-normalized scores; unfinished beams count full length.
+    lengths = jnp.where(
+        (ids == 0).any(-1), jnp.argmax((ids == 0).astype(jnp.int32), -1) + 1, T
+    ).astype(jnp.float32)
+    norm = ((5.0 + lengths) / 6.0) ** length_norm
+    final = scores.reshape(N, B) / norm
+    best = jnp.argmax(final, axis=1)
+    ids_best = jnp.take_along_axis(ids, best[:, None, None].repeat(T, 2), 1)[:, 0]
+    return ids_best, jnp.take_along_axis(final, best[:, None], 1)[:, 0]
+
+
 def refine_mask(T: int) -> jnp.ndarray:
     """Cloze attention mask for refinement: query i may attend every content
     position except j == i + 1 (its own previous prediction)."""
