@@ -122,6 +122,10 @@ class OcrEngine:
             return self._detect_fns[key]
 
         cfg = self.config
+        if cfg.tiled_detection and cfg.mag_ratio * max(h, w) > cfg.canvas_size:
+            fn = self._build_tiled_detect(batch, h, w)
+            self._detect_fns[key] = fn
+            return fn
         ccfg = self.craft_config
         from tuatara_tpu.ops.resize import canvas_shape
 
@@ -173,6 +177,57 @@ class OcrEngine:
         detect = self._jit(detect)
         self._detect_fns[key] = detect
         return detect
+
+    def _build_tiled_detect(self, batch: int, h: int, w: int):
+        """Detection program for pages larger than the canvas: overlapping
+        canvas-sized tiles through CRAFT (tile dim = batch), heatmaps
+        max-blended back to full resolution (ops/tiling.py), identical
+        post-processing. The page is NOT downscaled (ratio = mag_ratio)."""
+        from tuatara_tpu.ops.tiling import extract_tiles, stitch_heatmaps
+        from tuatara_tpu.ops.resize import pad32
+
+        cfg = self.config
+        ccfg = self.craft_config
+        tile = cfg.canvas_size
+        th, tw = int(h * cfg.mag_ratio), int(w * cfg.mag_ratio)
+        ratio = cfg.mag_ratio
+        ch, cw = pad32(th, cfg.size_multiple), pad32(tw, cfg.size_multiple)
+        ph, pw = max(ch, tile), max(cw, tile)
+        hm_h, hm_w = ph // cfg.ratio_net, pw // cfg.ratio_net
+        content_mask = (
+            (jnp.arange(hm_h) < ch // cfg.ratio_net)[:, None]
+            & (jnp.arange(hm_w) < cw // cfg.ratio_net)[None, :]
+        )
+
+        def one_page(params, image):
+            x = jax.image.resize(image.astype(jnp.float32), (th, tw, 3), "bilinear")
+            x = jnp.pad(x, ((0, ph - th), (0, pw - tw), (0, 0))) / 255.0
+            if cfg.channel_mode == "python":
+                x = x[..., ::-1]
+            tiles, coords = extract_tiles(x, tile, cfg.tile_overlap)
+            scores, _ = craft_forward(params, tiles, ccfg)
+            stitched = stitch_heatmaps(scores, coords, hm_h, hm_w, cfg.ratio_net)
+            out = extract_boxes(stitched[:, :, 0], stitched[:, :, 1],
+                                content_mask, cfg)
+            scaled = scale_boxes(out["boxes"], ratio, cfg)
+            bbox = tesseract_bbox(scaled)
+            rects = crop_rects(scaled, h, w)
+            crops = extract_crops(image.astype(jnp.float32), rects,
+                                  cfg.rec_height, cfg.rec_width)
+            if cfg.channel_mode == "cpp":
+                crops = crops[..., ::-1]
+            order = jnp.argsort(~out["valid"], stable=True)
+            return {
+                "bbox": bbox[order],
+                "valid": out["valid"][order],
+                "crops": crops[order],
+                "count": out["count"],
+            }
+
+        def detect(params, images):
+            return jax.vmap(lambda im: one_page(params, im))(images)
+
+        return self._jit(detect)
 
     def _jit(self, fn):
         sh = self._shardings()

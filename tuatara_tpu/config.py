@@ -33,6 +33,12 @@ class OcrConfig:
     # compiled detect program per bucket pair, proportionally less detector
     # compute for non-square pages; outputs are identical (content-masked).
     canvas_bucket: int = 256
+    # Tiled detection: pages whose magnified size exceeds the canvas run
+    # CRAFT over overlapping canvas-sized tiles with max-blended heatmaps
+    # instead of being downscaled (preserves small text on large pages — an
+    # improvement over the reference's always-downscale, tuatara.cpp:352-358).
+    tiled_detection: bool = False
+    tile_overlap: int = 256
 
     # ---- Detection post-processing thresholds (reference: tuatara.cpp:397-399) ----
     text_threshold: float = 0.7    # min peak region score to keep a component

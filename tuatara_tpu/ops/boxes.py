@@ -130,7 +130,7 @@ def extract_boxes(
     use_pallas = cfg.use_pallas == "on" or (
         cfg.use_pallas == "auto"
         and jax.default_backend() == "tpu"
-        and H * W <= (1 << 20)
+        and H * W <= 512 * 512  # CC kernel holds ~6 HxW i32 arrays in VMEM
         and H % 8 == 0
         and W % 128 == 0  # stats-kernel block lane width
         and K % 128 == 0
