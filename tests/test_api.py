@@ -92,6 +92,24 @@ def test_beam_decode_mode(rng):
         assert isinstance(item["text"], str)
 
 
+def test_dense_page_fills_buckets(rng):
+    """Aggressive thresholds on noise produce many boxes, exercising larger
+    recognition buckets and the multi-page slab assembly at high counts."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY_OCR, low_text=0.02, text_threshold=0.05,
+                              min_component_area=1, rec_buckets=(2, 8, 16))
+    eng = OcrEngine(cfg, TINY_CRAFT, TINY_PARSEQ, seed=0)
+    imgs = rng.integers(0, 255, (2, 96, 120, 3)).astype(np.uint8)
+    out = eng.run_pages(imgs)
+    total = sum(len(r) for r in out)
+    assert total >= 2  # multi-box, multi-page slab assembly exercised
+    assert eng.last_timings["boxes"] == total
+    for page in out:
+        for item in page:
+            assert len(item["bbox"]) == 4
+
+
 def test_input_validation():
     with pytest.raises(ValueError):
         image_to_data(np.zeros((4, 4), np.uint8))  # ndim != 3
