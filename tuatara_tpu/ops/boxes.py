@@ -56,7 +56,8 @@ import jax.numpy as jnp
 from tuatara_tpu.config import OcrConfig
 from tuatara_tpu.ops.connected_components import component_roots, label_components
 
-_INF = jnp.float32(1e30)
+# Python float, not a jnp scalar (no device work at import time).
+_INF = 1e30
 
 
 def _normalize(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

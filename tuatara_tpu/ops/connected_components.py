@@ -26,7 +26,9 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.int32(2**30)
+# Python int, not a jnp scalar: module-level jnp constants would initialize
+# a device backend at import time.
+_BIG = 2**30
 
 
 def _seg_min_scan(label: jnp.ndarray, fg: jnp.ndarray, axis: int) -> jnp.ndarray:
