@@ -234,16 +234,30 @@ def parseq_greedy_decode(
 
     pos_q = params["pos_queries"][0]  # [T, D]
 
+    # Step-static precomputation: position queries are fixed, so the entire
+    # query side of the self-attention — layernorm + projection + head split
+    # — is computed for ALL steps up front, and the per-step loop only does
+    # the token-dependent work. Ditto the content positional table and a
+    # fused (concatenated) K/V projection: fewer, larger ops per scan step.
+    qn_all = L.layernorm(layer["norm_q"], pos_q[:, None], eps)  # [T, 1, D]
+    q_heads_all = L.linear(layer["self_attn"]["q"], qn_all, compute_dtype)
+    q_heads_all = q_heads_all.reshape(T, 1, H, hd)  # [T, 1(batch-bcast), H, hd]
+    pos_table = jnp.concatenate([jnp.zeros((1, D)), pos_q[: T - 1]], axis=0)  # [T, D]
+    w_kv = jnp.concatenate(
+        [layer["self_attn"]["k"]["w"], layer["self_attn"]["v"]["w"]], axis=1
+    )
+    b_kv = jnp.concatenate(
+        [layer["self_attn"]["k"]["b"], layer["self_attn"]["v"]["b"]]
+    ) if "b" in layer["self_attn"]["k"] else None
+
     def content_kv(token_ids: jnp.ndarray, step: jnp.ndarray):
         """K/V heads for the content token entering at position `step`."""
         e = _embed_tokens(params, token_ids, D)  # [N, D]
-        # Position add: BOS (step 0) carries no positional term; token at
-        # content position j>=1 carries pos_queries[j-1].
-        pidx = jnp.maximum(step - 1, 0)
-        e = e + jnp.where(step >= 1, pos_q[pidx], 0.0)
+        e = e + jax.lax.dynamic_slice(pos_table, (step, 0), (1, D))
         cn = L.layernorm(layer["norm_c"], e[:, None], eps)  # [N,1,D]
-        k = L.linear(layer["self_attn"]["k"], cn, compute_dtype)
-        v = L.linear(layer["self_attn"]["v"], cn, compute_dtype)
+        kv = {"w": w_kv} if b_kv is None else {"w": w_kv, "b": b_kv}
+        kv = L.linear(kv, cn, compute_dtype)  # [N,1,2D] one fused matmul
+        k, v = kv[..., :D], kv[..., D:]
         k = k.reshape(N, 1, H, hd).transpose(0, 2, 1, 3)
         v = v.reshape(N, 1, H, hd).transpose(0, 2, 1, 3)
         return k, v  # [N, H, 1, hd]
@@ -255,11 +269,21 @@ def parseq_greedy_decode(
         k_cache = jax.lax.dynamic_update_slice(k_cache, k_i.astype(k_cache.dtype), (0, 0, i, 0))
         v_cache = jax.lax.dynamic_update_slice(v_cache, v_i.astype(v_cache.dtype), (0, 0, i, 0))
 
-        # Query stream for output position i over cache positions <= i.
-        q = jnp.broadcast_to(jax.lax.dynamic_slice(pos_q, (i, 0), (1, D))[None], (N, 1, D))
+        # Query stream for output position i over cache positions <= i,
+        # using the precomputed projected query heads.
+        q_res = jax.lax.dynamic_slice(pos_q, (i, 0), (1, D))[None]  # [1,1,D]
+        qh = jax.lax.dynamic_slice(
+            q_heads_all, (i, 0, 0, 0), (1, 1, H, hd)
+        ).transpose(1, 2, 0, 3)  # [1, H, 1, hd], broadcasts over N
         mask = (jnp.arange(T)[None, None, None, :] <= i)
-        qn = L.layernorm(layer["norm_q"], q, eps)
-        x = q + L.mha_with_kv(layer["self_attn"], qn, k_cache, v_cache, H, mask, compute_dtype)
+        attn = L.attention_core(
+            jnp.broadcast_to(qh, (N, H, 1, hd)), k_cache, v_cache, mask,
+            compute_dtype,
+        )
+        x = q_res + L.linear(
+            layer["self_attn"]["o"], attn.transpose(0, 2, 1, 3).reshape(N, 1, D),
+            compute_dtype,
+        )
         cn = L.layernorm(layer["norm1"], x, eps)
         x = x + L.mha_with_kv(layer["cross_attn"], cn, mem_k, mem_v, H, None, compute_dtype)
         x = _dec_ff(layer, x, eps, compute_dtype)
