@@ -166,6 +166,159 @@ def test_patch_embed_conversion_matches_torch_conv(rng):
     np.testing.assert_allclose(np.asarray(tokens_j), tokens_t, rtol=1e-4, atol=1e-4)
 
 
+class _TorchCraft(torch.nn.Module):
+    """Upstream-shaped CRAFT (clovaai structure + torchvision vgg16_bn
+    indices) at tiny channel widths — the functional oracle for conversion."""
+
+    def __init__(self, c=(8, 16, 16, 16, 16), fc=16,
+                 up=((16, 16), (16, 16), (16, 8), (8, 8)), head=(8, 8, 8, 8)):
+        super().__init__()
+        nn = torch.nn
+
+        def cbr(cin, cout):
+            return [nn.Conv2d(cin, cout, 3, padding=1), nn.BatchNorm2d(cout), nn.ReLU()]
+
+        feats = (
+            cbr(3, c[0]) + cbr(c[0], c[0]) + [nn.MaxPool2d(2, 2)]
+            + cbr(c[0], c[1]) + cbr(c[1], c[1]) + [nn.MaxPool2d(2, 2)]
+            + cbr(c[1], c[2]) + cbr(c[2], c[2]) + cbr(c[2], c[2]) + [nn.MaxPool2d(2, 2)]
+            + cbr(c[2], c[3]) + cbr(c[3], c[3]) + cbr(c[3], c[3]) + [nn.MaxPool2d(2, 2)]
+            + cbr(c[3], c[4]) + cbr(c[4], c[4])
+        )
+
+        class Base(nn.Module):
+            def __init__(self):
+                super().__init__()
+                for name, rng_ in [("slice1", range(0, 12)), ("slice2", range(12, 19)),
+                                   ("slice3", range(19, 29)), ("slice4", range(29, 39))]:
+                    seq = nn.Sequential()
+                    for i in rng_:
+                        seq.add_module(str(i), feats[i])
+                    setattr(self, name, seq)
+                self.slice5 = nn.Sequential(
+                    nn.MaxPool2d(3, 1, 1),
+                    nn.Conv2d(c[4], fc, 3, padding=6, dilation=6),
+                    nn.Conv2d(fc, fc, 1),
+                )
+
+        self.basenet = Base()
+
+        def double_conv(cin, mid, out):
+            return nn.Sequential(
+                nn.Conv2d(cin, mid, 1), nn.BatchNorm2d(mid), nn.ReLU(),
+                nn.Conv2d(mid, out, 3, padding=1), nn.BatchNorm2d(out), nn.ReLU(),
+            )
+
+        in_chs = [fc + c[4], up[0][1] + c[3], up[1][1] + c[2], up[2][1] + c[1]]
+        for i, ((mid, out), cin) in enumerate(zip(up, in_chs), start=1):
+            blk = nn.Module()
+            blk.conv = double_conv(cin, mid, out)
+            setattr(self, f"upconv{i}", blk)
+        h = head
+        self.conv_cls = nn.Sequential(
+            nn.Conv2d(up[-1][1], h[0], 3, padding=1), nn.ReLU(),
+            nn.Conv2d(h[0], h[1], 3, padding=1), nn.ReLU(),
+            nn.Conv2d(h[1], h[2], 3, padding=1), nn.ReLU(),
+            nn.Conv2d(h[2], h[3], 1), nn.ReLU(),
+            nn.Conv2d(h[3], 2, 1),
+        )
+
+    def forward(self, x):
+        import torch.nn.functional as F
+
+        b = self.basenet
+        h = b.slice1(x); f2 = h
+        h = b.slice2(h); f3 = h
+        h = b.slice3(h); f4 = h
+        h = b.slice4(h); f5 = h
+        h = b.slice5(h)
+        y = torch.cat([h, f5], dim=1)
+        y = self.upconv1.conv(y)
+        y = F.interpolate(y, size=f4.shape[2:], mode="bilinear", align_corners=False)
+        y = self.upconv2.conv(torch.cat([y, f4], dim=1))
+        y = F.interpolate(y, size=f3.shape[2:], mode="bilinear", align_corners=False)
+        y = self.upconv3.conv(torch.cat([y, f3], dim=1))
+        y = F.interpolate(y, size=f2.shape[2:], mode="bilinear", align_corners=False)
+        feat = self.upconv4.conv(torch.cat([y, f2], dim=1))
+        return self.conv_cls(feat).permute(0, 2, 3, 1)
+
+
+def test_craft_full_model_conversion_matches_torch(rng):
+    """End-to-end functional conversion parity: a randomly-initialized
+    upstream-structured torch CRAFT and our JAX CRAFT with the converted
+    weights produce the same scores on the same input."""
+    from tuatara_tpu.config import CraftConfig
+    from tuatara_tpu.models.craft import craft_forward
+
+    torch.manual_seed(0)
+    m = _TorchCraft().eval()
+    # randomize BN running stats so inference-mode BN is non-trivial
+    with torch.no_grad():
+        for mod in m.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.running_mean.normal_(0, 0.3)
+                mod.running_var.uniform_(0.5, 1.5)
+
+    sd = {k: v.numpy() for k, v in m.state_dict().items()}
+    cfg = CraftConfig(stage_channels=(8, 16, 16, 16, 16), fc_channels=16,
+                      up_channels=((16, 16), (16, 16), (16, 8), (8, 8)),
+                      head_channels=(8, 8, 8, 8))
+    params = convert_craft_state_dict(sd, cfg)
+    params = jax.tree.map(jnp.asarray, params)
+
+    x = rng.random((1, 64, 96, 3), np.float32)
+    with torch.no_grad():
+        want = m(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    got, _ = craft_forward(params, jnp.array(x), cfg, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+def test_parseq_encoder_conversion_matches_torch(rng):
+    """Full encoder functional parity: timm-style ViT in torch vs our
+    converted JAX encoder on the same input."""
+    import torch.nn.functional as F
+
+    from tuatara_tpu.models.parseq import parseq_encode
+
+    cfg = CFG
+    D = cfg.embed_dim
+    sd = _synthetic_parseq_sd(rng, cfg)
+    params = jax.tree.map(jnp.asarray, convert_parseq_state_dict(sd, cfg))
+
+    x_img = rng.random((2, 32, 128, 3), np.float32)
+
+    def t(name):
+        return torch.tensor(sd[name])
+
+    with torch.no_grad():
+        x = torch.tensor(np.transpose(x_img, (0, 3, 1, 2)))
+        h = F.conv2d(x, t("encoder.patch_embed.proj.weight"),
+                     t("encoder.patch_embed.proj.bias"), stride=cfg.patch_size)
+        h = h.flatten(2).transpose(1, 2)  # [N, S, D]
+        h = h + t("encoder.pos_embed")
+        heads = cfg.enc_heads
+        for i in range(cfg.enc_depth):
+            b = f"encoder.blocks.{i}"
+            hn = F.layer_norm(h, (D,), t(f"{b}.norm1.weight"), t(f"{b}.norm1.bias"), 1e-6)
+            qkv = F.linear(hn, t(f"{b}.attn.qkv.weight"), t(f"{b}.attn.qkv.bias"))
+            q, k, v = qkv.chunk(3, dim=-1)
+
+            def split(z):
+                n, s, _ = z.shape
+                return z.reshape(n, s, heads, D // heads).transpose(1, 2)
+
+            attn = F.scaled_dot_product_attention(split(q), split(k), split(v))
+            attn = attn.transpose(1, 2).reshape(h.shape)
+            h = h + F.linear(attn, t(f"{b}.attn.proj.weight"), t(f"{b}.attn.proj.bias"))
+            hn = F.layer_norm(h, (D,), t(f"{b}.norm2.weight"), t(f"{b}.norm2.bias"), 1e-6)
+            hh = F.gelu(F.linear(hn, t(f"{b}.mlp.fc1.weight"), t(f"{b}.mlp.fc1.bias")))
+            h = h + F.linear(hh, t(f"{b}.mlp.fc2.weight"), t(f"{b}.mlp.fc2.bias"))
+        want = F.layer_norm(h, (D,), t("encoder.norm.weight"), t("encoder.norm.bias"), 1e-6).numpy()
+
+    got = parseq_encode(params, jnp.array(x_img), cfg, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
 def test_qkv_split_matches_torch_mha(rng):
     """Fused in_proj split == torch nn.MultiheadAttention."""
     D, heads = 32, 4
