@@ -211,6 +211,35 @@ def test_extract_boxes_matches_oracle(seed):
     assert got == ref, f"\nours: {got}\nref:  {ref}"
 
 
+@pytest.mark.parametrize("seed", [1, 4])
+def test_masked_extraction_equals_oracle_on_cropped_content(seed):
+    """The claim that makes TPU canvas padding free: extraction over a
+    content-masked padded map is bit-identical to the reference pipeline run
+    on just the content region (normalization, CC, dilation clamps all
+    confined to the content extent)."""
+    rng = np.random.default_rng(seed)
+    ch, cw = 48, 40
+    text_full = np.zeros((64, 64), np.float32)
+    link_full = np.zeros((64, 64), np.float32)
+    t, l = _synthetic_heatmaps(rng, ch, cw, 4)
+    text_full[:ch, :cw] = t
+    link_full[:ch, :cw] = l
+    # garbage in the padding region must not affect anything
+    text_full[ch:, :] = rng.random((64 - ch, 64), np.float32)
+    link_full[:, cw:] = rng.random((64, 64 - cw), np.float32)
+
+    mask = np.zeros((64, 64), bool)
+    mask[:ch, :cw] = True
+    out = extract_boxes(jnp.array(text_full), jnp.array(link_full),
+                        jnp.array(mask), CFG)
+    got = sorted(
+        tuple(int(v) for v in row)
+        for row in np.asarray(out["boxes"])[np.asarray(out["valid"])]
+    )
+    ref = _oracle_boxes(t, l, CFG)
+    assert got == ref, f"\nours: {got}\nref:  {ref}"
+
+
 def test_extract_boxes_respects_content_mask():
     """Foreground outside the content extent (TPU canvas padding) is ignored."""
     text = np.zeros((64, 64), np.float32)
