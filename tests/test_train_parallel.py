@@ -79,6 +79,108 @@ def test_train_step_runs_and_descends():
     assert int(state.step) == 4
 
 
+def test_craft_forward_train_updates_bn_stats():
+    """Training-mode forward normalizes with batch stats and returns torch-
+    momentum running-stat updates; inference forward is unchanged."""
+    from tuatara_tpu.models import layers as L
+    from tuatara_tpu.models.craft import (
+        craft_forward, craft_forward_train, init_craft_params,
+    )
+
+    rng = np.random.default_rng(0)
+    params = init_craft_params(jax.random.PRNGKey(0), TINY_CRAFT)
+    x = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+
+    scores_t, _, newp = jax.jit(
+        lambda p, x: craft_forward_train(p, x, TINY_CRAFT, jnp.float32)
+    )(params, x)
+    scores_i, _ = jax.jit(
+        lambda p, x: craft_forward(p, x, TINY_CRAFT, jnp.float32)
+    )(params, x)
+    assert not np.allclose(np.asarray(scores_t), np.asarray(scores_i))
+
+    # First BN's new running mean == 0.9*old + 0.1*batch_mean(conv output).
+    h = L.conv2d(params["vgg"]["conv1_1"]["conv"], x, compute_dtype=jnp.float32)
+    bm = np.asarray(h).astype(np.float64).mean((0, 1, 2))
+    old = np.asarray(params["vgg"]["conv1_1"]["bn"]["mean"])
+    np.testing.assert_allclose(
+        np.asarray(newp["vgg"]["conv1_1"]["bn"]["mean"]),
+        0.9 * old + 0.1 * bm, rtol=1e-5, atol=1e-6,
+    )
+    # Decoder BNs update too; weights pass through untouched.
+    assert not np.allclose(
+        np.asarray(newp["up"]["upconv4"]["bn2"]["var"]),
+        np.asarray(params["up"]["upconv4"]["bn2"]["var"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(newp["vgg"]["conv1_1"]["conv"]["w"]),
+        np.asarray(params["vgg"]["conv1_1"]["conv"]["w"]),
+    )
+
+
+def test_train_step_threads_bn_running_stats():
+    """After a step, the new state's BN mean/var are the train-forward's
+    updated buffers (not optimizer-mangled), matching a direct recompute."""
+    import functools
+
+    from tuatara_tpu.models.craft import craft_forward_train
+
+    rng = np.random.default_rng(0)
+    state, tx = init_train_state(jax.random.PRNGKey(0), TINY_CRAFT, TINY_PARSEQ)
+    batch = _batch(rng)
+    step = jax.jit(functools.partial(
+        train_step, tx=tx, craft_cfg=TINY_CRAFT, parseq_cfg=TINY_PARSEQ))
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert "craft_bn_params" not in metrics
+
+    _, _, expected = jax.jit(
+        lambda p, x: craft_forward_train(p, x, TINY_CRAFT)
+    )(state.craft_params, batch["pages"])
+    got = new_state.craft_params["vgg"]["conv2_2"]["bn"]
+    np.testing.assert_allclose(
+        np.asarray(got["mean"]),
+        np.asarray(expected["vgg"]["conv2_2"]["bn"]["mean"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got["var"]),
+        np.asarray(expected["vgg"]["conv2_2"]["bn"]["var"]), rtol=1e-5)
+    # Non-buffer BN params (scale/bias) DID take an optimizer update.
+    assert not np.allclose(
+        np.asarray(new_state.craft_params["vgg"]["conv2_2"]["bn"]["scale"]),
+        np.asarray(state.craft_params["vgg"]["conv2_2"]["bn"]["scale"]),
+    )
+
+
+def test_plm_loss_ignores_padding_content():
+    """PAD positions after EOS must be invisible to live queries: mutating
+    them cannot change the PLM loss (the content key-padding mask)."""
+    from tuatara_tpu.models.parseq import init_parseq_params
+    from tuatara_tpu.train.losses import parseq_plm_loss
+
+    cfg = TINY_PARSEQ
+    rng = np.random.default_rng(1)
+    params = init_parseq_params(jax.random.PRNGKey(2), cfg)
+    crops = jnp.asarray(rng.random((2, 32, 128, 3)), jnp.float32)
+    bos, pad = cfg.num_tokens - 2, cfg.num_tokens - 1
+    T = cfg.max_label_length  # 7 -> labels [N, 9]
+    labels = np.full((2, T + 2), pad, np.int32)
+    labels[:, 0] = bos
+    labels[0, 1:3] = [5, 9]
+    labels[0, 3] = 0  # EOS
+    labels[1, 1:5] = [12, 3, 44, 7]
+    labels[1, 5] = 0
+    lengths = np.asarray([3, 5], np.int32)
+
+    lossf = jax.jit(lambda lab: parseq_plm_loss(
+        params, crops, jnp.asarray(lab), jnp.asarray(lengths),
+        jax.random.PRNGKey(3), cfg, k_perms=6)[0])
+    base = np.asarray(lossf(labels))
+
+    mutated = labels.copy()
+    mutated[0, 4:T + 1] = 33  # garbage in PAD slots of tgt_in (after EOS)
+    mutated[1, 6:T + 1] = 61
+    np.testing.assert_array_equal(base, np.asarray(lossf(mutated)))
+
+
 def test_train_step_sharded_matches_single_device():
     rng = np.random.default_rng(0)
     state, tx = init_train_state(jax.random.PRNGKey(0), TINY_CRAFT, TINY_PARSEQ)

@@ -204,7 +204,7 @@ class OcrEngine:
             x = jnp.pad(x, ((0, ph - th), (0, pw - tw), (0, 0))) / 255.0
             if cfg.channel_mode == "python":
                 x = x[..., ::-1]
-            tiles, coords = extract_tiles(x, tile, cfg.tile_overlap)
+            tiles, coords = extract_tiles(x, tile, cfg.tile_overlap, cfg.ratio_net)
             scores, _ = craft_forward(params, tiles, ccfg)
             stitched = stitch_heatmaps(scores, coords, hm_h, hm_w, cfg.ratio_net)
             out = extract_boxes(stitched[:, :, 0], stitched[:, :, 1],
@@ -258,8 +258,12 @@ class OcrEngine:
                 from tuatara_tpu.models.parseq import parseq_beam_decode, parseq_encode
 
                 memory = parseq_encode(params, crops, pcfg)
-                ids, score = parseq_beam_decode(params, memory, pcfg, beam)
-                return ids, jnp.exp(score)  # length-normalized seq probability
+                ids, logp = parseq_beam_decode(params, memory, pcfg, beam)
+                # logp is the UNnormalized sum of token log-probs of the
+                # winning beam (selection uses GNMT length normalization
+                # internally), so exp(logp) is a true sequence probability —
+                # the same semantics as greedy's product of per-step probs.
+                return ids, jnp.exp(logp)
             logits = parseq_forward(params, crops, pcfg)
             ids = jnp.argmax(logits, axis=-1)
             # Sequence confidence: product of per-position max softmax prob
@@ -359,7 +363,11 @@ class OcrEngine:
             self.last_timings = {"detect_s": t1 - t0, "recognize_s": 0.0, "decode_s": 0.0}
             return results
 
-        bucket = self._bucket(total) if total <= self.config.max_boxes else pad32(total, 32)
+        # Oversized totals round up to a multiple of max_boxes: a coarse
+        # ladder (at most `b` rungs) so varied multi-page workloads can't
+        # grow the compiled-program cache without bound (one program per
+        # distinct pad32 total otherwise).
+        bucket = self._bucket(total) if total <= K else K * ((total + K - 1) // K)
         bucket = min(bucket, b * K)  # the gather can't produce more rows
         slab = self._slab_fn(b, K, bucket)(det["crops"], det["valid"])
         if self.mesh is not None:

@@ -151,19 +151,13 @@ def _upsample_to(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     )
 
 
-def _double_conv(p: Params, x: jnp.ndarray, eps: float, dtype) -> jnp.ndarray:
-    x = jax.nn.relu(L.batchnorm(p["bn1"], L.conv2d(p["conv1"], x, compute_dtype=dtype), eps))
-    x = jax.nn.relu(L.batchnorm(p["bn2"], L.conv2d(p["conv2"], x, compute_dtype=dtype), eps))
-    return x
-
-
 def craft_forward(
     params: Params,
     x: jnp.ndarray,
     cfg: CraftConfig = CraftConfig(),
     compute_dtype=jnp.bfloat16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """CRAFT forward pass.
+    """CRAFT forward pass (inference-mode BN on running statistics).
 
     Args:
       x: [B, H, W, 3] float image in [0, 1] (the reference feeds /255 only,
@@ -174,15 +168,56 @@ def craft_forward(
       feature [B, H/2, W/2, 32] — mirroring the reference model's output
       tuple of which the pipeline consumes element 0 (tuatara.cpp:382-384).
     """
+    scores, feat, _ = _craft_apply(params, x, cfg, compute_dtype, train=False)
+    return scores, feat
+
+
+def craft_forward_train(
+    params: Params,
+    x: jnp.ndarray,
+    cfg: CraftConfig = CraftConfig(),
+    compute_dtype=jnp.bfloat16,
+    momentum: float = 0.1,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Params]:
+    """Training-mode forward: BN normalizes with BATCH statistics and the
+    running statistics update with `momentum` (torch semantics). Returns
+    (scores, feature, new_params) where new_params is `params` with the
+    updated running mean/var (stop-gradient'ed — thread them into the train
+    state after the optimizer step, see train/trainer.py)."""
+    return _craft_apply(params, x, cfg, compute_dtype, train=True, momentum=momentum)
+
+
+def _craft_apply(
+    params: Params,
+    x: jnp.ndarray,
+    cfg: CraftConfig,
+    compute_dtype,
+    train: bool,
+    momentum: float = 0.1,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Params]:
     eps = cfg.bn_eps
+    updated: Dict[Tuple[str, str, str], Params] = {}
+
+    def bn(group: str, block: str, key: str, h: jnp.ndarray) -> jnp.ndarray:
+        bnp = params[group][block][key]
+        if not train:
+            return L.batchnorm(bnp, h, eps)
+        y, new = L.batchnorm_train(bnp, h, eps, momentum)
+        updated[(group, block, key)] = {
+            "scale": bnp["scale"],
+            "bias": bnp["bias"],
+            "mean": jax.lax.stop_gradient(new["mean"]),
+            "var": jax.lax.stop_gradient(new["var"]),
+        }
+        return y
+
     skips = {}
     h = x
     for name, _, _, pool_before, skip in _vgg_plan(cfg):
         if pool_before:
             h = L.max_pool(h, 2, 2)
-        h = L.batchnorm(params["vgg"][name]["bn"],
-                        L.conv2d(params["vgg"][name]["conv"], h, compute_dtype=compute_dtype),
-                        eps)
+        h = bn("vgg", name, "bn",
+               L.conv2d(params["vgg"][name]["conv"], h, compute_dtype=compute_dtype))
         if skip is not None:
             skips[skip] = h  # pre-ReLU BN output
         h = jax.nn.relu(h)
@@ -192,18 +227,26 @@ def craft_forward(
     h = L.conv2d(params["fc"]["fc6"], h, dilation=6, compute_dtype=compute_dtype)
     h = L.conv2d(params["fc"]["fc7"], h, compute_dtype=compute_dtype)
 
+    def double_conv(block: str, y: jnp.ndarray) -> jnp.ndarray:
+        p = params["up"][block]
+        y = jax.nn.relu(bn("up", block, "bn1",
+                           L.conv2d(p["conv1"], y, compute_dtype=compute_dtype)))
+        y = jax.nn.relu(bn("up", block, "bn2",
+                           L.conv2d(p["conv2"], y, compute_dtype=compute_dtype)))
+        return y
+
     # Decoder.
     y = jnp.concatenate([h, skips["f5"]], axis=-1)
-    y = _double_conv(params["up"]["upconv1"], y, eps, compute_dtype)
+    y = double_conv("upconv1", y)
     y = _upsample_to(y, skips["f4"].shape[1], skips["f4"].shape[2])
     y = jnp.concatenate([y, skips["f4"]], axis=-1)
-    y = _double_conv(params["up"]["upconv2"], y, eps, compute_dtype)
+    y = double_conv("upconv2", y)
     y = _upsample_to(y, skips["f3"].shape[1], skips["f3"].shape[2])
     y = jnp.concatenate([y, skips["f3"]], axis=-1)
-    y = _double_conv(params["up"]["upconv3"], y, eps, compute_dtype)
+    y = double_conv("upconv3", y)
     y = _upsample_to(y, skips["f2"].shape[1], skips["f2"].shape[2])
     y = jnp.concatenate([y, skips["f2"]], axis=-1)
-    feat = _double_conv(params["up"]["upconv4"], y, eps, compute_dtype)
+    feat = double_conv("upconv4", y)
 
     hp = params["head"]
     y = jax.nn.relu(L.conv2d(hp["conv1"], feat, compute_dtype=compute_dtype))
@@ -211,4 +254,15 @@ def craft_forward(
     y = jax.nn.relu(L.conv2d(hp["conv3"], y, compute_dtype=compute_dtype))
     y = jax.nn.relu(L.conv2d(hp["conv4"], y, compute_dtype=compute_dtype))
     y = L.conv2d(hp["conv5"], y, compute_dtype=compute_dtype)
-    return y.astype(jnp.float32), feat.astype(jnp.float32)
+
+    if not train:
+        return y.astype(jnp.float32), feat.astype(jnp.float32), params
+    new_params = {
+        "vgg": {n: dict(blk) for n, blk in params["vgg"].items()},
+        "fc": params["fc"],
+        "up": {n: dict(blk) for n, blk in params["up"].items()},
+        "head": params["head"],
+    }
+    for (group, block, key), stats in updated.items():
+        new_params[group][block][key] = stats
+    return y.astype(jnp.float32), feat.astype(jnp.float32), new_params

@@ -351,8 +351,11 @@ def parseq_beam_decode(
     compute is one decoder invocation regardless of beam width; candidate
     selection is a top-k over (beam x vocab) per sequence. Finished beams
     (emitted EOS) are frozen: they propose only an EOS continuation at zero
-    incremental log-prob. Returns (ids [N, T], scores [N]) for the best beam
-    under GNMT-style length normalization ((5+len)/6)^length_norm.
+    incremental log-prob. Returns (ids [N, T], scores [N]): the best beam is
+    SELECTED under GNMT-style length normalization ((5+len)/6)^length_norm,
+    but the returned score is that beam's raw (unnormalized) sum of token
+    log-probs, so exp(score) is a true sequence probability comparable to
+    the greedy path's confidence.
     """
     if cfg.dec_depth != 1:
         raise NotImplementedError("beam decode assumes dec_depth == 1")
@@ -443,7 +446,8 @@ def parseq_beam_decode(
     final = scores.reshape(N, B) / norm
     best = jnp.argmax(final, axis=1)
     ids_best = jnp.take_along_axis(ids, best[:, None, None].repeat(T, 2), 1)[:, 0]
-    return ids_best, jnp.take_along_axis(final, best[:, None], 1)[:, 0]
+    raw_best = jnp.take_along_axis(scores.reshape(N, B), best[:, None], 1)[:, 0]
+    return ids_best, raw_best
 
 
 def refine_mask(T: int) -> jnp.ndarray:

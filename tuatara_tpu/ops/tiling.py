@@ -35,14 +35,22 @@ def tile_positions(size: int, tile: int, stride: int) -> List[int]:
 
 
 def extract_tiles(
-    image: jnp.ndarray, tile: int, overlap: int
+    image: jnp.ndarray, tile: int, overlap: int, ratio_net: int = 2
 ) -> Tuple[jnp.ndarray, List[Tuple[int, int]]]:
     """[H, W, C] -> ([n_tiles, tile, tile, C], [(y, x)] static positions).
 
-    H and W must already be padded to >= tile.
+    H and W must already be padded to >= tile. The stride (tile - overlap)
+    must be a multiple of `ratio_net`: stitch_heatmaps places tiles at
+    (y // ratio_net, x // ratio_net), so an odd stride would silently
+    misplace heatmaps by a fraction of a heatmap pixel.
     """
     h, w = image.shape[:2]
     stride = tile - overlap
+    if stride % ratio_net:
+        raise ValueError(
+            f"tile stride {stride} (tile {tile} - overlap {overlap}) must be "
+            f"a multiple of ratio_net={ratio_net} for exact heatmap stitching"
+        )
     coords = [
         (y, x)
         for y in tile_positions(h, tile, stride)

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from tuatara_tpu.config import CraftConfig, ParseqConfig
-from tuatara_tpu.models.craft import craft_forward
+from tuatara_tpu.models.craft import craft_forward, craft_forward_train
 from tuatara_tpu.models.parseq import parseq_decode, parseq_encode
 
 
@@ -38,14 +38,24 @@ def craft_loss(
     confidence: jnp.ndarray | None = None,
     cfg: CraftConfig = CraftConfig(),
     neg_ratio: float = 3.0,
+    train_bn: bool = True,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """OHEM-balanced MSE on (region, affinity) heatmaps.
 
     images [B, H, W, 3] in [0,1]; target_heatmaps [B, H/2, W/2, 2];
     confidence [B, H/2, W/2] optional per-pixel weight (weak-supervision
     confidence in the CRAFT recipe).
+
+    With train_bn (the default), BN uses batch statistics and the updated
+    running stats are returned under metrics["craft_bn_params"]
+    (stop-gradient'ed full param tree) for the trainer to splice back after
+    the optimizer step; train_bn=False is frozen-BN fine-tuning.
     """
-    pred, _ = craft_forward(params, images, cfg)
+    if train_bn:
+        pred, _, new_bn = craft_forward_train(params, images, cfg)
+    else:
+        pred, _ = craft_forward(params, images, cfg)
+        new_bn = None
     err = (pred - target_heatmaps) ** 2  # [B, h, w, 2]
     if confidence is not None:
         err = err * confidence[..., None]
@@ -65,7 +75,10 @@ def craft_loss(
     neg_loss = jnp.where(neg_keep, per_pixel, 0.0)
 
     loss = (pos_loss.sum() + neg_loss.sum()) / (n_pos + jnp.maximum(neg_keep.sum(), 1))
-    return loss, {"craft_pos": pos_loss.sum() / n_pos, "craft_n_pos": n_pos}
+    metrics = {"craft_pos": pos_loss.sum() / n_pos, "craft_n_pos": n_pos}
+    if new_bn is not None:
+        metrics["craft_bn_params"] = new_bn
+    return loss, metrics
 
 
 # ---------------------------------------------------------------------------
@@ -138,8 +151,16 @@ def parseq_plm_loss(
 
     perms = gen_permutations(key, cfg.max_label_length, k_perms)
 
+    # Content key-padding mask (the PARSEQ recipe's tgt_padding_mask): block
+    # attention to EOS and everything after it (PADs always follow EOS in the
+    # tokenizer.encode layout) so live queries of short labels never attend
+    # PAD/EOS content embeddings under mirrored/random permutations. Mirrors
+    # parseq_refine (models/parseq.py).
+    pad = jnp.cumsum((tgt_in == 0).astype(jnp.int32), axis=1) > 0  # [N, T]
+
     def one_perm(perm):
         qmask = perm_attention_masks(perm, cfg.max_label_length)[None, None]
+        qmask = qmask & ~pad[:, None, None, :]  # [N, 1, T, T]
         logits = parseq_decode(params, memory, tgt_in, cfg, query_mask=qmask)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         tok_lp = jnp.take_along_axis(logp, tgt_out[..., None].clip(0, logits.shape[-1] - 1), axis=-1)[..., 0]

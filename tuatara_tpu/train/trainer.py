@@ -67,6 +67,7 @@ def train_step(
     craft_cfg: CraftConfig = CraftConfig(),
     parseq_cfg: ParseqConfig = ParseqConfig(),
     craft_weight: float = 1.0,
+    train_bn: bool = True,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One joint optimization step.
 
@@ -76,10 +77,18 @@ def train_step(
       crops   [N, 32, 128, 3] float in [0,1]    (recognizer input)
       labels  [N, max_len+2] int32              (BOS..EOS..PAD)
       lengths [N] int32
+
+    With train_bn (default) the detector's BN layers normalize with batch
+    statistics and their running stats update each step (spliced into the new
+    state after the optimizer step — they are buffers, not trained weights).
+    train_bn=False is frozen-BN fine-tuning on the stored running stats.
     """
 
     def loss_fn(params):
-        lc, mc = craft_loss(params["craft"], batch["pages"], batch["heat"], cfg=craft_cfg)
+        lc, mc = craft_loss(
+            params["craft"], batch["pages"], batch["heat"], cfg=craft_cfg,
+            train_bn=train_bn,
+        )
         lp, mp = parseq_plm_loss(
             params["parseq"], batch["crops"], batch["labels"], batch["lengths"],
             key, parseq_cfg,
@@ -90,11 +99,27 @@ def train_step(
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
     updates, opt_state = tx.update(grads, state.opt_state, params)
     params = optax.apply_updates(params, updates)
+    craft_p = params["craft"]
+    bn_params = metrics.pop("craft_bn_params", None)
+    if bn_params is not None:
+        craft_p = _splice_bn_stats(craft_p, bn_params)
     new_state = TrainState(
-        state.step + 1, params["craft"], params["parseq"], opt_state
+        state.step + 1, craft_p, params["parseq"], opt_state
     )
     metrics["loss"] = loss
     return new_state, metrics
+
+
+def _splice_bn_stats(trained: Any, bn_source: Any) -> Any:
+    """Take BN running mean/var from `bn_source` (the train-mode forward's
+    updated buffers), everything else from `trained` (the optimizer output).
+    Both trees share the CRAFT param structure."""
+
+    def pick(path, a, b):
+        name = getattr(path[-1], "key", None)
+        return b if name in ("mean", "var") else a
+
+    return jax.tree_util.tree_map_with_path(pick, trained, bn_source)
 
 
 # ---------------------------------------------------------------------------
