@@ -110,6 +110,23 @@ def test_dense_page_fills_buckets(rng):
             assert len(item["bbox"]) == 4
 
 
+def test_grayscale_input_bit_identical_to_rgb(engine, rng):
+    """[B,H,W] / [B,H,W,1] / [H,W] grayscale inputs produce exactly the
+    results of the channel-tripled RGB batch (the on-device broadcast path
+    that cuts H2D bytes 3x)."""
+    gray = np.asarray(_page(rng))[..., 0]  # [H, W]
+    rgb = np.repeat(gray[..., None], 3, axis=-1)
+    ref = engine.run(rgb)
+
+    assert engine.run(gray) == ref                      # [H, W]
+    assert engine.run_pages(gray[None])[0] == ref       # [B, H, W]
+    assert engine.run_pages(gray[None, ..., None])[0] == ref  # [B, H, W, 1]
+
+    # Mixed-shape validation still rejects nonsense.
+    with pytest.raises(ValueError):
+        engine.run_pages(np.zeros((2, 4, 4, 2), np.uint8))
+
+
 def test_input_validation():
     with pytest.raises(ValueError):
         image_to_data(np.zeros((4, 4), np.uint8))  # ndim != 3

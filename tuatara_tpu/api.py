@@ -116,8 +116,8 @@ class OcrEngine:
     # Stage programs (compiled once per shape, cached)
     # ------------------------------------------------------------------
 
-    def _detect_fn(self, batch: int, h: int, w: int):
-        key = (batch, h, w)
+    def _detect_fn(self, batch: int, h: int, w: int, channels: int = 3):
+        key = (batch, h, w, channels)
         if key in self._detect_fns:
             return self._detect_fns[key]
 
@@ -136,10 +136,18 @@ class OcrEngine:
             (jnp.arange(hm_h) < ch2)[:, None] & (jnp.arange(hm_w) < cw2)[None, :]
         )
 
+        dtype = jnp.dtype(cfg.compute_dtype)
+
         def one_page(params, image):
+            # Grayscale pages arrive as [H, W, 1] and broadcast to RGB here,
+            # on device, inside the program: H2D carries 3x fewer bytes and
+            # every downstream op sees the identical R=G=B image (bit-exact
+            # vs an RGB transfer; channel flips are no-ops on gray).
+            if image.shape[-1] == 1:
+                image = jnp.broadcast_to(image, image.shape[:2] + (3,))
             canvas, _, _ = detect_canvas(image, cfg)
             craft_in = canvas[..., ::-1] if cfg.channel_mode == "python" else canvas
-            scores, _ = craft_forward(params, craft_in, ccfg)
+            scores, _ = craft_forward(params, craft_in, ccfg, compute_dtype=dtype)
             out = extract_boxes(scores[0, :, :, 0], scores[0, :, :, 1],
                                 content_mask, cfg)
             if cfg.box_mode == "rotated":
@@ -172,6 +180,8 @@ class OcrEngine:
             }
 
         def detect(params, images):
+            if images.ndim == 3:  # [B, H, W] grayscale -> [B, H, W, 1]
+                images = images[..., None]
             return jax.vmap(lambda im: one_page(params, im))(images)
 
         detect = self._jit(detect)
@@ -200,12 +210,15 @@ class OcrEngine:
         )
 
         def one_page(params, image):
+            if image.shape[-1] == 1:
+                image = jnp.broadcast_to(image, image.shape[:2] + (3,))
             x = jax.image.resize(image.astype(jnp.float32), (th, tw, 3), "bilinear")
             x = jnp.pad(x, ((0, ph - th), (0, pw - tw), (0, 0))) / 255.0
             if cfg.channel_mode == "python":
                 x = x[..., ::-1]
             tiles, coords = extract_tiles(x, tile, cfg.tile_overlap, cfg.ratio_net)
-            scores, _ = craft_forward(params, tiles, ccfg)
+            scores, _ = craft_forward(params, tiles, ccfg,
+                                      compute_dtype=jnp.dtype(cfg.compute_dtype))
             stitched = stitch_heatmaps(scores, coords, hm_h, hm_w, cfg.ratio_net)
             out = extract_boxes(stitched[:, :, 0], stitched[:, :, 1],
                                 content_mask, cfg)
@@ -225,6 +238,8 @@ class OcrEngine:
             }
 
         def detect(params, images):
+            if images.ndim == 3:  # [B, H, W] grayscale -> [B, H, W, 1]
+                images = images[..., None]
             return jax.vmap(lambda im: one_page(params, im))(images)
 
         return self._jit(detect)
@@ -252,19 +267,21 @@ class OcrEngine:
 
         mode = self.config.decode_mode
         beam = self.config.beam_size
+        dtype = jnp.dtype(self.config.compute_dtype)
 
         def recognize(params, crops):
             if mode == "beam":
                 from tuatara_tpu.models.parseq import parseq_beam_decode, parseq_encode
 
-                memory = parseq_encode(params, crops, pcfg)
-                ids, logp = parseq_beam_decode(params, memory, pcfg, beam)
+                memory = parseq_encode(params, crops, pcfg, compute_dtype=dtype)
+                ids, logp = parseq_beam_decode(params, memory, pcfg, beam,
+                                               compute_dtype=dtype)
                 # logp is the UNnormalized sum of token log-probs of the
                 # winning beam (selection uses GNMT length normalization
                 # internally), so exp(logp) is a true sequence probability —
                 # the same semantics as greedy's product of per-step probs.
                 return ids, jnp.exp(logp)
-            logits = parseq_forward(params, crops, pcfg)
+            logits = parseq_forward(params, crops, pcfg, compute_dtype=dtype)
             ids = jnp.argmax(logits, axis=-1)
             # Sequence confidence: product of per-position max softmax prob
             # up to (and including) the first EOS.
@@ -310,30 +327,59 @@ class OcrEngine:
     def run(self, image: np.ndarray, outputs_dir: Optional[str] = None) -> List[Dict]:
         """OCR one image -> [{"text": str, "bbox": [x0, y0, x1, y1]}].
 
-        `image`: [H, W, 3] uint8, RGB (the reference Python-binding contract,
-        bindings/python.cpp:12-28 + run_ocr.py:88-91). `outputs_dir` is
-        accepted for signature parity and ignored, as in the reference
-        (validated-but-unused, tuatara.cpp:320-323).
+        `image`: [H, W, 3] uint8 RGB (the reference Python-binding contract,
+        bindings/python.cpp:12-28 + run_ocr.py:88-91) or [H, W] grayscale
+        (bit-identical to feeding the channel-tripled RGB, 3x cheaper to
+        transfer). `outputs_dir` is accepted for signature parity and
+        ignored, as in the reference (validated-but-unused,
+        tuatara.cpp:320-323).
         """
         return self.run_pages(image[None])[0]
 
+    @staticmethod
+    def _batch_geometry(images) -> Tuple[Any, int, int, int, int]:
+        """Parse [B,H,W,3] / [B,H,W,1] / [B,H,W] / [H,W,3] / [H,W] input ->
+        (images, b, h, w, channels) WITHOUT touching device-resident data
+        (an eager reshape on a committed jax.Array costs a full dispatch
+        round-trip on remote backends — rank normalization happens inside
+        the jitted detect program instead).
+
+        A 3-D array whose last dim is 3 is read as one RGB page; any other
+        3-D array is a grayscale batch (a gray BATCH with page width 3 is
+        pathological — pass [B, H, W, 1] to disambiguate)."""
+        if not isinstance(images, jax.Array):
+            images = np.asarray(images)
+        if images.ndim == 2:
+            images = images[None] if isinstance(images, np.ndarray) else images[None, ...]
+        if images.ndim == 3 and images.shape[-1] == 3:
+            images = images[None]
+        if images.ndim == 3:
+            b, h, w = images.shape
+            return images, b, h, w, 1
+        if images.ndim != 4 or images.shape[-1] not in (1, 3):
+            raise ValueError(
+                f"expected an image batch [B, H, W, 3|1] (or [B, H, W] / "
+                f"[H, W] grayscale, [H, W, 3] RGB), got "
+                f"{getattr(images, 'shape', None)}"
+            )
+        b, h, w, c = images.shape
+        return images, b, h, w, c
+
     def run_pages(self, images: np.ndarray) -> List[List[Dict]]:
-        """OCR a batch of same-sized pages [B, H, W, 3] uint8 RGB.
+        """OCR a batch of same-sized pages: [B, H, W, 3] uint8 RGB, or
+        grayscale [B, H, W] / [B, H, W, 1] (results bit-identical to the
+        equivalent R=G=B RGB batch; the single channel broadcasts to 3 on
+        device, so host->device transfer carries a third of the bytes —
+        material for scanned-document serving).
 
         The high-throughput path: detection runs batched, all pages' live
         crops are recognized in one PARSEQ slab, results are split per page.
         Device-resident (jax.Array) input is passed through without a host
         round-trip — pair with `prefetch` to overlap H2D with compute.
         """
-        if not isinstance(images, jax.Array):
-            images = np.asarray(images)
-        if images.ndim == 3:
-            images = images[None]
-        if images.ndim != 4 or images.shape[-1] != 3:
-            raise ValueError(f"expected [B, H, W, 3] uint8 image batch, got {images.shape}")
+        images, b, h, w, c = self._batch_geometry(images)
         if images.size == 0:
             raise ValueError("empty image")
-        b, h, w = images.shape[:3]
 
         # With a mesh attached, the page batch pads to a dp multiple so the
         # dp-sharded program divides evenly; padding pages are dropped below.
@@ -343,12 +389,14 @@ class OcrEngine:
             pad_pages = dp - b % dp
             pad = jnp.zeros if isinstance(images, jax.Array) else np.zeros
             cat = jnp.concatenate if isinstance(images, jax.Array) else np.concatenate
-            images = cat([images, pad((pad_pages, h, w, 3), images.dtype)], axis=0)
+            images = cat(
+                [images, pad((pad_pages,) + images.shape[1:], images.dtype)], axis=0
+            )
             b = images.shape[0]
 
         t0 = time.perf_counter()
         with jax.profiler.TraceAnnotation("tuatara_detect"):
-            det = self._detect_fn(b, h, w)(self.craft_params, jnp.asarray(images))
+            det = self._detect_fn(b, h, w, c)(self.craft_params, jnp.asarray(images))
             counts = np.asarray(det["count"])  # syncs
         t1 = time.perf_counter()
 

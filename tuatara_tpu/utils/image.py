@@ -14,12 +14,21 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 
-def load_image(path: str) -> np.ndarray:
+def load_image(path: str, keep_gray: bool = False) -> np.ndarray:
     """Load an image file -> [H, W, 3] uint8 RGB (the engine's input
-    contract, matching the demo's PIL convert("RGB") — run_ocr.py:88-91)."""
+    contract, matching the demo's PIL convert("RGB") — run_ocr.py:88-91).
+
+    With keep_gray, natively single-channel files (PIL mode "L"/"1", e.g.
+    the FUNSD scans) return [H, W] uint8 instead: the engine accepts it
+    directly, produces bit-identical results to the RGB conversion (which
+    just triples the channel), and the host->device transfer carries a third
+    of the bytes."""
     from PIL import Image
 
-    return np.asarray(Image.open(path).convert("RGB"))
+    im = Image.open(path)
+    if keep_gray and im.mode in ("L", "1", "I;16"):
+        return np.asarray(im.convert("L"))
+    return np.asarray(im.convert("RGB"))
 
 
 def save_image(path: str, image: np.ndarray) -> None:
