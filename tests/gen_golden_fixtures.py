@@ -1,0 +1,122 @@
+"""Generate the default-config golden fixtures (run once, commit outputs).
+
+Random weights produce degenerate detections (one page-sized blob), which
+pins nothing useful at production shapes. This script briefly trains the
+tiny detector on synthetic text-like pages (deterministic, CPU) until it
+responds to dark strokes, trains the tiny recognizer on rendered words, and
+then records the FULL pipeline's outputs on all six reference images at the
+DEFAULT OcrConfig geometry (1024 canvas, 256-box budget, default thresholds
+and buckets) — a behavior change at production scale now fails CI.
+
+Outputs (committed):
+  tests/fixtures/golden_weights/{craft_weights,parseq_weights}.npz
+  tests/fixtures/golden_default.json
+
+Usage: PYTHONPATH=. python tests/gen_golden_fixtures.py
+"""
+
+import json
+import os
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+import optax  # noqa: E402
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+FIXDIR = os.path.join(HERE, "fixtures")
+WEIGHTS_DIR = os.path.join(FIXDIR, "golden_weights")
+
+from tuatara_tpu.api import OcrEngine  # noqa: E402
+from tuatara_tpu.config import CraftConfig, OcrConfig, ParseqConfig  # noqa: E402
+from tuatara_tpu.models.craft import init_craft_params  # noqa: E402
+from tuatara_tpu.tokenizer import Tokenizer  # noqa: E402
+from tuatara_tpu.train.losses import craft_loss  # noqa: E402
+from tuatara_tpu.train.run import fit_recognizer  # noqa: E402
+from tuatara_tpu.utils.data import detection_batch, word_batch  # noqa: E402
+from tuatara_tpu.utils.image import load_image  # noqa: E402
+from tuatara_tpu.utils.weights import save_weights_dir  # noqa: E402
+
+TINY_CRAFT = CraftConfig(
+    stage_channels=(8, 16, 16, 16, 16), fc_channels=16,
+    up_channels=((16, 16), (16, 16), (16, 8), (8, 8)),
+    head_channels=(8, 8, 8, 8),
+)
+TINY_PARSEQ = ParseqConfig(embed_dim=32, enc_depth=1, enc_heads=4, dec_heads=4,
+                           max_label_length=7)
+OCR = OcrConfig(max_label_length=7)  # default geometry/thresholds/buckets
+
+IMAGES = [
+    "funsd_0001129658", "funsd_91372360", "resume_example",
+    "table_english", "rotated_text",
+]
+
+
+def train_tiny_craft(steps: int = 400, seed: int = 0):
+    params = init_craft_params(jax.random.PRNGKey(seed), TINY_CRAFT)
+    tx = optax.adam(2e-3)
+    opt = tx.init(params)
+    rng = np.random.default_rng(seed)
+
+    @jax.jit
+    def step(params, opt, pages, heat):
+        def loss_fn(p):
+            loss, metrics = craft_loss(p, pages, heat, cfg=TINY_CRAFT, train_bn=True)
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt = tx.update(grads, opt, params)
+        params = optax.apply_updates(params, updates)
+        # Thread updated BN buffers (mean/var are not trained weights).
+        bn = metrics["craft_bn_params"]
+
+        def pick(path, a, b):
+            name = getattr(path[-1], "key", None)
+            return b if name in ("mean", "var") else a
+
+        params = jax.tree_util.tree_map_with_path(pick, params, bn)
+        return params, opt, loss
+
+    for i in range(steps):
+        d = detection_batch(8, rng, size=96, words_per_page=4)
+        params, opt, loss = step(params, opt, jnp.asarray(d["pages"]),
+                                 jnp.asarray(d["heat"]))
+        if i % 100 == 0 or i == steps - 1:
+            print(f"craft step {i}: loss {float(loss):.4f}")
+    return jax.device_get(params)
+
+
+def main():
+    os.makedirs(WEIGHTS_DIR, exist_ok=True)
+    craft_p = train_tiny_craft()
+
+    tok = Tokenizer()
+    data = word_batch(8, tok, np.random.default_rng(1), max_length=7,
+                      min_len=2, max_len=5)
+    parseq_p, losses = fit_recognizer(steps=300, cfg=TINY_PARSEQ, tokenizer=tok,
+                                      data=data, lr=3e-3, seed=0, k_perms=6,
+                                      log_every=100)
+    print(f"parseq loss {losses[0]:.3f} -> {losses[-1]:.3f}")
+    save_weights_dir(WEIGHTS_DIR, craft_p, jax.device_get(parseq_p))
+
+    engine = OcrEngine(OCR, TINY_CRAFT, TINY_PARSEQ, weights_dir=WEIGHTS_DIR)
+    fixture = {"config": {"canvas_size": OCR.canvas_size,
+                          "max_boxes": OCR.max_boxes,
+                          "max_label_length": OCR.max_label_length},
+               "images": {}}
+    for name in IMAGES:
+        img = load_image(f"/root/reference/images/{name}.png")
+        out = engine.run(img)
+        fixture["images"][name] = out
+        print(f"{name}: {len(out)} boxes; texts: {[r['text'] for r in out[:6]]}")
+
+    with open(os.path.join(FIXDIR, "golden_default.json"), "w") as f:
+        json.dump(fixture, f, indent=1)
+    print("wrote", os.path.join(FIXDIR, "golden_default.json"))
+
+
+if __name__ == "__main__":
+    main()

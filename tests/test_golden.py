@@ -1,11 +1,18 @@
-"""Golden-fixture regression test (SURVEY.md §4.1 strategy).
+"""Golden-fixture regression tests (SURVEY.md §4.1 strategy).
 
 Without pretrained weights, transcript-level parity against the reference
 binary is unobservable in this environment; what IS pinnable is the full
-pipeline's deterministic behavior under a fixed seed — any unintended change
-to preprocessing geometry, detection post-processing, crop extraction, or
-decoding shifts these results. The fixture was produced by the engine at a
-known-good commit on a real reference image.
+pipeline's deterministic behavior under fixed weights — any unintended
+change to preprocessing geometry, detection post-processing, crop
+extraction, or decoding shifts these results.
+
+Two tiers:
+* the original tiny-config single-image pin (fast), and
+* default-config fixtures over the reference images using a briefly-trained
+  detector/recognizer committed under fixtures/golden_weights (16-36 boxes
+  per page at the production 1024-canvas / 256-box geometry — regenerate
+  with tests/gen_golden_fixtures.py). A regression that only manifests at
+  production shapes or multi-box counts fails here.
 """
 
 import json
@@ -20,6 +27,10 @@ from tuatara_tpu.utils.image import load_image
 
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
                        "golden_rotated_text_tiny.json")
+GOLDEN_DEFAULT = os.path.join(os.path.dirname(__file__), "fixtures",
+                              "golden_default.json")
+GOLDEN_WEIGHTS = os.path.join(os.path.dirname(__file__), "fixtures",
+                              "golden_weights")
 IMAGE = "/root/reference/images/rotated_text.png"
 
 TINY_CRAFT = CraftConfig(
@@ -44,3 +55,82 @@ def test_golden_pipeline_regression():
     for got, want in zip(out, fix["results"]):
         assert got["text"] == want["text"]
         np.testing.assert_allclose(got["bbox"], want["bbox"], atol=1.0)
+
+
+# ---------------------------------------------------------------------------
+# Default-config fixtures (production geometry, trained tiny weights)
+# ---------------------------------------------------------------------------
+
+with open(GOLDEN_DEFAULT) as _f:
+    _GOLDEN = json.load(_f)
+
+
+@pytest.fixture(scope="module")
+def golden_engine():
+    cfg = OcrConfig(max_label_length=7)  # DEFAULT canvas/boxes/thresholds
+    return OcrEngine(cfg, TINY_CRAFT, TINY_PARSEQ, weights_dir=GOLDEN_WEIGHTS)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(_GOLDEN["images"]))
+def test_golden_default_config(golden_engine, name):
+    path = f"/root/reference/images/{name}.png"
+    if not os.path.isfile(path):
+        pytest.skip("reference image absent")
+    want = _GOLDEN["images"][name]
+    got = golden_engine.run(load_image(path))
+    assert len(got) == len(want), (len(got), len(want))
+    for g, w in zip(got, want):
+        assert g["text"] == w["text"], (g, w)
+        np.testing.assert_allclose(g["bbox"], w["bbox"], atol=1.0)
+        np.testing.assert_allclose(g["confidence"], w["confidence"],
+                                   rtol=2e-2, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_native_matches_jax_on_real_craft_heatmaps():
+    """Native C++ box extraction == JAX extraction on heatmaps produced by
+    the trained detector on a real page at the default 1024 canvas — the
+    cross-check at production scale (synthetic-blob versions live in
+    test_native.py)."""
+    from tuatara_tpu import native
+    from tuatara_tpu.models.craft import craft_forward, fold_batchnorms
+    from tuatara_tpu.ops.boxes import extract_boxes
+    from tuatara_tpu.ops.resize import detect_canvas
+    from tuatara_tpu.utils.weights import load_weights_dir
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    import jax
+    import jax.numpy as jnp
+
+    cfg = OcrConfig(max_label_length=7)
+    craft_p, _ = load_weights_dir(GOLDEN_WEIGHTS)
+    craft_p = fold_batchnorms(craft_p)
+    img = load_image("/root/reference/images/funsd_0001129658.png")
+
+    @jax.jit
+    def heatmaps(p, image):
+        canvas, _, _ = detect_canvas(image, cfg)
+        craft_in = canvas[..., ::-1]  # channel_mode "python"
+        scores, _ = craft_forward(p, craft_in, TINY_CRAFT,
+                                  compute_dtype=jnp.float32)
+        return scores[0]
+
+    hm = np.asarray(heatmaps(craft_p, jnp.asarray(img)))
+    ch, cw = 512, 384  # content extent of the 1000x754 page at ratio 1.0 (/2)
+    text, link = hm[:ch, :cw, 0], hm[:ch, :cw, 1]
+
+    nboxes, _, _ = native.extract_boxes(
+        text, link, cfg.text_threshold, cfg.link_threshold, cfg.low_text,
+        cfg.min_component_area, cfg.niter_mode, cfg.max_boxes)
+    mask = jnp.ones((ch, cw), bool)
+    out = extract_boxes(jnp.asarray(text), jnp.asarray(link), mask, cfg)
+    valid = np.asarray(out["valid"])
+    jboxes = np.asarray(out["boxes"])[valid]
+
+    assert len(nboxes) == len(jboxes) > 5, (len(nboxes), len(jboxes))
+    np.testing.assert_array_equal(
+        np.asarray(sorted(map(tuple, nboxes.astype(int)))),
+        np.asarray(sorted(map(tuple, jboxes.astype(int)))),
+    )

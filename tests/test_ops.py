@@ -240,6 +240,39 @@ def test_masked_extraction_equals_oracle_on_cropped_content(seed):
     assert got == ref, f"\nours: {got}\nref:  {ref}"
 
 
+def test_budget_not_exhausted_by_subthreshold_components():
+    """Regression (found at production scale): sub-filter specks earlier in
+    raster order must NOT consume box-budget slots — the filters run before
+    root selection, like the reference's unbudgeted host loop."""
+    import dataclasses
+
+    h, w = 64, 64
+    text = np.zeros((h, w), np.float32)
+    link = np.zeros_like(text)
+    link[0, 0] = 1e-6  # avoid degenerate all-equal normalization
+    # 24 single-pixel specks (area 1 < min_area) in the top rows — raw
+    # raster order puts ALL of them before the real components.
+    for i in range(24):
+        text[1 + 2 * (i // 12), 2 + 5 * (i % 12)] = 1.0
+    # 6 real word-sized components lower on the page.
+    real = []
+    for i in range(6):
+        y, x = 20 + 6 * i, 4 + 3 * i
+        text[y:y + 4, x:x + 14] = 1.0
+        real.append((x, y, x + 13, y + 3))
+
+    cfg = dataclasses.replace(CFG, max_boxes=8, min_component_area=10)
+    out = extract_boxes(jnp.array(text), jnp.array(link),
+                        jnp.ones((h, w), bool), cfg)
+    got = sorted(
+        tuple(int(v) for v in row)
+        for row in np.asarray(out["boxes"])[np.asarray(out["valid"])]
+    )
+    ref = _oracle_boxes(text, link, cfg)
+    assert got == ref, f"\nours: {got}\nref:  {ref}"
+    assert len(got) == 6
+
+
 def test_extract_boxes_respects_content_mask():
     """Foreground outside the content extent (TPU canvas padding) is ignored."""
     text = np.zeros((64, 64), np.float32)

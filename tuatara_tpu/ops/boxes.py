@@ -54,7 +54,10 @@ import jax
 import jax.numpy as jnp
 
 from tuatara_tpu.config import OcrConfig
-from tuatara_tpu.ops.connected_components import component_roots, label_components
+from tuatara_tpu.ops.connected_components import (
+    component_roots_filtered,
+    label_components,
+)
 
 # Python float, not a jnp scalar (no device work at import time).
 _INF = 1e30
@@ -127,6 +130,10 @@ def extract_boxes(
 
     # Reduced set: component minus link-only pixels (tuatara.cpp:160).
     keep2d = ~(link_bin & ~text_bin)
+    # "Contains a pixel at/above text_threshold" — the reference's per-
+    # component minMaxLoc >= threshold test (tuatara.cpp:150-154), as a pixel
+    # mask so root selection can pre-filter (see component_roots_filtered).
+    hot2d = (tn >= cfg.text_threshold) & content_mask
 
     use_pallas = cfg.use_pallas == "on" or (
         cfg.use_pallas == "auto"
@@ -142,7 +149,9 @@ def extract_boxes(
         from tuatara_tpu.ops.pallas.stats import component_stats
 
         labels, cc_iters = label_components_pallas(comb, cfg.cc_max_iters)
-        roots, ncomp = component_roots(labels, K)
+        roots, ncomp = component_roots_filtered(
+            labels, K, cfg.min_component_area, hot2d, keep2d,
+            hot_implies_keep=cfg.text_threshold >= cfg.low_text)
         row_cnt, col_cnt, rrow_cnt, rcol_cnt, peak = component_stats(
             labels, tn, keep2d, roots
         )
@@ -155,7 +164,9 @@ def extract_boxes(
         member = None  # only needed for the rotated-mode moment pass below
     else:
         labels, cc_iters = label_components(comb, cfg.cc_max_iters)
-        roots, ncomp = component_roots(labels, K)
+        roots, ncomp = component_roots_filtered(
+            labels, K, cfg.min_component_area, hot2d, keep2d,
+            hot_implies_keep=cfg.text_threshold >= cfg.low_text)
 
         member = labels[:, :, None] == roots[None, None, :]  # [H, W, K]
         row_any, col_any, area = _profiles(member.astype(jnp.int32))

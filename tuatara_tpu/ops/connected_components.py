@@ -105,6 +105,73 @@ def component_roots(labels: jnp.ndarray, max_components: int) -> Tuple[jnp.ndarr
     return roots, n
 
 
+def component_roots_filtered(
+    labels: jnp.ndarray,
+    max_components: int,
+    min_area: int,
+    hot: jnp.ndarray,
+    keep: jnp.ndarray,
+    hot_implies_keep: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Raster-first roots of components that PASS the reference filters.
+
+    `component_roots` spends budget slots on components in raw raster order,
+    so on noisy maps sub-threshold specks can exhaust the budget before real
+    text components are reached (a dense page can have thousands of raw
+    components vs a 256-box budget — the reference has no budget because its
+    host loop visits every component, tuatara.cpp:145-154). Here the
+    filters run BEFORE selection: one scatter-add accumulates per-raw-
+    component (area, reduced-pixel count, hot-pixel count) keyed by the root
+    index each label already carries, and only components with
+    area >= min_area, a non-empty reduced set, and at least one `hot` pixel
+    (max text score >= threshold, exactly the reference's minMaxLoc test)
+    compete for the K slots. Downstream one-hot stats then recompute exact
+    extents for just those K.
+
+    hot/keep: [H, W] bool pixel masks (tn >= text_threshold, and the
+    non-link-only reduced set). Returns (roots [K], num_raw_components).
+    """
+    h, w = labels.shape
+    n = h * w
+    flat = labels.reshape(-1)
+    fg = flat >= 0
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_root = fg & (flat == idx)
+    n_raw = jnp.sum(is_root.astype(jnp.int32))
+
+    tgt = jnp.where(fg, flat, n)  # background -> overflow row
+    # Two cheap [n]-scatters (a single scatter with a trailing stats dim is
+    # ~6x slower on TPU): an add for area, and a max for presence.
+    area = jnp.zeros((n + 1,), jnp.int32).at[tgt].add(1)[:n]
+    hot_f = hot.reshape(-1) & fg
+    keep_f = keep.reshape(-1) & fg
+    if hot_implies_keep:
+        # hot (tn >= text_threshold) implies keep (non-link-only) whenever
+        # text_threshold >= low_text — true for the reference defaults and
+        # any sane config — so presence packs into ONE 0/1/2 max field:
+        # max == 2 <=> some hot pixel (which also implies a keep pixel);
+        # the keep filter is then subsumed.
+        pres = hot_f.astype(jnp.int32) + keep_f.astype(jnp.int32)
+        bits = jnp.zeros((n + 1,), jnp.int32).at[tgt].max(pres)[:n]
+        present = bits == 2
+    else:
+        hotp = jnp.zeros((n + 1,), jnp.int32).at[tgt].max(hot_f.astype(jnp.int32))[:n]
+        keepp = jnp.zeros((n + 1,), jnp.int32).at[tgt].max(keep_f.astype(jnp.int32))[:n]
+        present = (hotp > 0) & (keepp > 0)
+    # Root pixel i holds its own component's stats — no gather needed.
+    ok = is_root & (area >= min_area) & present
+
+    scores = jnp.where(ok, -flat, -_BIG)
+    k = min(max_components, n)
+    top, _ = jax.lax.top_k(scores, k)
+    roots = jnp.where(top > -_BIG, -top, _BIG)
+    if k < max_components:
+        roots = jnp.concatenate(
+            [roots, jnp.full((max_components - k,), _BIG, jnp.int32)]
+        )
+    return roots, n_raw
+
+
 def compact_labels(
     labels: jnp.ndarray, max_components: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
