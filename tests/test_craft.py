@@ -36,6 +36,51 @@ def test_forward_contract(craft_params):
     assert err / scale < 0.1
 
 
+def test_fold_batchnorms_matches_unfolded():
+    """Folded params (BN removed, conv rescaled) reproduce the live-BN
+    forward exactly in fp32, drop the bn entries, and fold idempotently."""
+    from tuatara_tpu.models.craft import fold_batchnorms
+
+    cfg = CraftConfig(
+        stage_channels=(8, 16, 16, 16, 16), fc_channels=16,
+        up_channels=((16, 16), (16, 16), (16, 8), (8, 8)),
+        head_channels=(8, 8, 8, 8),
+    )
+    params = init_craft_params(jax.random.PRNGKey(2), cfg)
+    # Randomize BN affine + running stats so folding is non-trivial.
+    rng = np.random.default_rng(0)
+
+    def randomize(p):
+        for blk in p["vgg"].values():
+            bn = blk["bn"]
+            for k in ("scale", "bias", "mean"):
+                bn[k] = jnp.asarray(rng.normal(0, 0.5, bn[k].shape), jnp.float32)
+            bn["var"] = jnp.asarray(rng.uniform(0.5, 1.5, bn["var"].shape), jnp.float32)
+        for blk in p["up"].values():
+            for k in ("bn1", "bn2"):
+                for s in ("scale", "bias", "mean"):
+                    blk[k][s] = jnp.asarray(rng.normal(0, 0.5, blk[k][s].shape), jnp.float32)
+                blk[k]["var"] = jnp.asarray(rng.uniform(0.5, 1.5, blk[k]["var"].shape), jnp.float32)
+        return p
+
+    params = randomize(params)
+    folded = fold_batchnorms(params, eps=cfg.bn_eps)
+    assert "bn" not in folded["vgg"]["conv1_1"]
+    assert "bn1" not in folded["up"]["upconv1"]
+    assert fold_batchnorms(folded) is folded  # idempotent
+
+    x = jnp.asarray(rng.random((1, 32, 64, 3)), jnp.float32)
+    a, _ = jax.jit(lambda p: craft_forward(p, x, cfg, compute_dtype=jnp.float32))(params)
+    b, _ = jax.jit(lambda p: craft_forward(p, x, cfg, compute_dtype=jnp.float32))(folded)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+    # Training-mode forward must refuse folded trees.
+    from tuatara_tpu.models.craft import craft_forward_train
+
+    with pytest.raises(ValueError, match="BN-folded"):
+        craft_forward_train(folded, x, cfg)
+
+
 def test_param_count_plausible(craft_params):
     n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(craft_params))
     # Public CRAFT has ~20.8M params; backbone+decoder+head here must land

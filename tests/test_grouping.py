@@ -1,0 +1,85 @@
+"""Line-grouping tests (ops/grouping.py — the reference TODO,
+tuatara.cpp:411-414)."""
+
+import numpy as np
+
+from tuatara_tpu.ops.grouping import group_lines
+
+
+def w(x0, y0, x1, y1, text="w", conf=0.9):
+    return {"text": text, "bbox": [x0, y0, x1, y1], "confidence": conf}
+
+
+def test_single_line_joins_in_x_order():
+    words = [w(50, 10, 80, 20, "world"), w(10, 11, 45, 21, "hello")]
+    lines = group_lines(words)
+    assert len(lines) == 1
+    assert lines[0]["text"] == "hello world"
+    assert lines[0]["bbox"] == [10, 10, 80, 21]
+    assert [x["text"] for x in lines[0]["words"]] == ["hello", "world"]
+
+
+def test_separate_lines_stay_separate():
+    words = [w(10, 10, 40, 20, "a"), w(10, 30, 40, 40, "b"), w(10, 50, 40, 60, "c")]
+    lines = group_lines(words)
+    assert [l["text"] for l in lines] == ["a", "b", "c"]
+
+
+def test_slight_baseline_jitter_still_one_line():
+    # 60% vertical overlap — same line despite jitter.
+    words = [w(10, 10, 40, 20, "a"), w(50, 14, 80, 24, "b")]
+    assert [l["text"] for l in group_lines(words)] == ["a b"]
+
+
+def test_table_gap_splits_into_cells():
+    # Two words on one baseline separated by 10x the line height.
+    words = [w(10, 10, 40, 20, "cell1"), w(200, 10, 240, 20, "cell2")]
+    lines = group_lines(words)
+    assert [l["text"] for l in lines] == ["cell1", "cell2"]
+    # ... but an ordinary word gap does not split.
+    words = [w(10, 10, 40, 20, "two"), w(48, 10, 80, 20, "words")]
+    assert [l["text"] for l in group_lines(words)] == ["two words"]
+
+
+def test_reading_order_and_confidence():
+    words = [
+        w(10, 50, 40, 60, "third", 0.5),
+        w(60, 10, 90, 20, "second", 0.8),
+        w(10, 10, 40, 20, "first", 0.2),
+    ]
+    lines = group_lines(words)
+    assert [l["text"] for l in lines] == ["first second", "third"]
+    np.testing.assert_allclose(lines[0]["confidence"], (0.2 * 0.8) ** 0.5)
+    np.testing.assert_allclose(lines[1]["confidence"], 0.5)
+
+
+def test_empty_input():
+    assert group_lines([]) == []
+
+
+def test_engine_run_lines_contract(rng):
+    """run_lines produces the hierarchy over a real engine run."""
+    from tuatara_tpu.api import OcrEngine
+    from tuatara_tpu.config import CraftConfig, OcrConfig, ParseqConfig
+
+    cfg = OcrConfig(canvas_size=128, max_boxes=16, rec_buckets=(16,),
+                    max_label_length=7)
+    eng = OcrEngine(
+        cfg,
+        CraftConfig(stage_channels=(8, 16, 16, 16, 16), fc_channels=16,
+                    up_channels=((16, 16), (16, 16), (16, 8), (8, 8)),
+                    head_channels=(8, 8, 8, 8)),
+        ParseqConfig(embed_dim=32, enc_depth=1, enc_heads=4, dec_heads=4,
+                     max_label_length=7),
+        seed=0,
+    )
+    img = np.full((96, 120, 3), 255, np.uint8)
+    img[20:30, 10:60] = 0
+    img[50:58, 30:90] = 0
+    img += rng.integers(0, 10, img.shape).astype(np.uint8)
+    lines = eng.run_lines(img)
+    flat_words = [wd for ln in lines for wd in ln["words"]]
+    assert len(flat_words) == len(eng.run(img))
+    for ln in lines:
+        assert set(ln) == {"text", "bbox", "confidence", "words"}
+        assert ln["text"] == " ".join(wd["text"] for wd in ln["words"])

@@ -107,10 +107,14 @@ class OcrEngine:
             self.craft_params, eps=self.craft_config.bn_eps
         )
 
-        self._detect_fns: Dict[Tuple[int, int, int], Any] = {}
+        self._detect_fns: Dict[Tuple[int, int, int, int], Any] = {}
         self._recognize_fns: Dict[int, Any] = {}
         self._slab_fns: Dict[Tuple[int, int, int], Any] = {}
         self.last_timings: Dict[str, float] = {}
+        # Speculative-recognition state: last batch's bucket + batch size
+        # (see run_pages — lets the dispatch chain skip the count round-trip).
+        self._spec_bucket: Optional[int] = None
+        self._spec_batch: Optional[int] = None
 
     # ------------------------------------------------------------------
     # Stage programs (compiled once per shape, cached)
@@ -153,29 +157,27 @@ class OcrEngine:
             if cfg.box_mode == "rotated":
                 # Rectification path (the improvement the reference TODO'd:
                 # it fits rotated rects but crops axis-aligned —
-                # tuatara.cpp:416): perspective-warp each rotated rect to the
-                # recognition shape; public bbox = AABB of the corners, like
-                # rotated_rect_to_tesseract_format (tuatara.cpp:256-274).
+                # tuatara.cpp:416): bbox = AABB of the rotated corners, like
+                # rotated_rect_to_tesseract_format (tuatara.cpp:256-274); the
+                # corners feed the lazy perspective-warp crop program.
                 scaled_c = scale_boxes(out["corners"], ratio, cfg)
                 bbox = tesseract_bbox(jnp.concatenate(
                     [scaled_c.min(axis=1), scaled_c.max(axis=1)], axis=-1))
-                crops = extract_crops_perspective(
-                    image.astype(jnp.float32), scaled_c,
-                    cfg.rec_height, cfg.rec_width)
+                rects = scaled_c  # [K, 4, 2] corners
             else:
                 scaled = scale_boxes(out["boxes"], ratio, cfg)
                 bbox = tesseract_bbox(scaled)
-                rects = crop_rects(scaled, h, w)
-                crops = extract_crops(image.astype(jnp.float32), rects,
-                                      cfg.rec_height, cfg.rec_width)
-            if cfg.channel_mode == "cpp":
-                crops = crops[..., ::-1]
+                rects = crop_rects(scaled, h, w)  # [K, 4] crop windows
             # Compact: valid boxes first, preserving component (raster) order.
+            # Crops are NOT materialized here: the recognition program
+            # extracts only the live bucket's crops (lazy crop extraction) —
+            # warping all max_boxes slots per page wastes compute and HBM
+            # when pages are sparse.
             order = jnp.argsort(~out["valid"], stable=True)
             return {
                 "bbox": bbox[order],
                 "valid": out["valid"][order],
-                "crops": crops[order],
+                "rects": rects[order],
                 "count": out["count"],
             }
 
@@ -225,15 +227,11 @@ class OcrEngine:
             scaled = scale_boxes(out["boxes"], ratio, cfg)
             bbox = tesseract_bbox(scaled)
             rects = crop_rects(scaled, h, w)
-            crops = extract_crops(image.astype(jnp.float32), rects,
-                                  cfg.rec_height, cfg.rec_width)
-            if cfg.channel_mode == "cpp":
-                crops = crops[..., ::-1]
             order = jnp.argsort(~out["valid"], stable=True)
             return {
                 "bbox": bbox[order],
                 "valid": out["valid"][order],
-                "crops": crops[order],
+                "rects": rects[order],
                 "count": out["count"],
             }
 
@@ -260,57 +258,101 @@ class OcrEngine:
     def dp_size(self) -> int:
         return 1 if self.mesh is None else self.mesh.shape.get("dp", 1)
 
-    def _recognize_fn(self, n: int):
-        if n in self._recognize_fns:
-            return self._recognize_fns[n]
+    def _recognize_body(self, params, crops):
+        """Crops [N, rec_h, rec_w, 3] in [0,1] -> (ids [N, T], conf [N])."""
         pcfg = self.parseq_config
-
         mode = self.config.decode_mode
         beam = self.config.beam_size
         dtype = jnp.dtype(self.config.compute_dtype)
+        if mode == "beam":
+            from tuatara_tpu.models.parseq import parseq_beam_decode, parseq_encode
 
-        def recognize(params, crops):
-            if mode == "beam":
-                from tuatara_tpu.models.parseq import parseq_beam_decode, parseq_encode
+            memory = parseq_encode(params, crops, pcfg, compute_dtype=dtype)
+            ids, logp = parseq_beam_decode(params, memory, pcfg, beam,
+                                           compute_dtype=dtype)
+            # logp is the UNnormalized sum of token log-probs of the
+            # winning beam (selection uses GNMT length normalization
+            # internally), so exp(logp) is a true sequence probability —
+            # the same semantics as greedy's product of per-step probs.
+            return ids, jnp.exp(logp)
+        logits = parseq_forward(params, crops, pcfg, compute_dtype=dtype)
+        ids = jnp.argmax(logits, axis=-1)
+        # Sequence confidence: product of per-position max softmax prob
+        # up to (and including) the first EOS.
+        probs = jax.nn.softmax(logits, axis=-1)
+        pmax = jnp.max(probs, axis=-1)
+        eos = ids == 0
+        before_eos = jnp.cumsum(eos.astype(jnp.int32), axis=-1) - eos.astype(jnp.int32) == 0
+        conf = jnp.prod(jnp.where(before_eos, pmax, 1.0), axis=-1)
+        return ids, conf
 
-                memory = parseq_encode(params, crops, pcfg, compute_dtype=dtype)
-                ids, logp = parseq_beam_decode(params, memory, pcfg, beam,
-                                               compute_dtype=dtype)
-                # logp is the UNnormalized sum of token log-probs of the
-                # winning beam (selection uses GNMT length normalization
-                # internally), so exp(logp) is a true sequence probability —
-                # the same semantics as greedy's product of per-step probs.
-                return ids, jnp.exp(logp)
-            logits = parseq_forward(params, crops, pcfg, compute_dtype=dtype)
-            ids = jnp.argmax(logits, axis=-1)
-            # Sequence confidence: product of per-position max softmax prob
-            # up to (and including) the first EOS.
-            probs = jax.nn.softmax(logits, axis=-1)
-            pmax = jnp.max(probs, axis=-1)
-            eos = ids == 0
-            before_eos = jnp.cumsum(eos.astype(jnp.int32), axis=-1) - eos.astype(jnp.int32) == 0
-            conf = jnp.prod(jnp.where(before_eos, pmax, 1.0), axis=-1)
-            return ids, conf
-
-        recognize = self._jit(recognize)
+    def _recognize_fn(self, n: int):
+        """Recognition over a pre-extracted crop slab (bench/warmup path)."""
+        if n in self._recognize_fns:
+            return self._recognize_fns[n]
+        recognize = self._jit(self._recognize_body)
         self._recognize_fns[n] = recognize
         return recognize
 
-    def _slab_fn(self, b: int, k: int, bucket: int):
-        """One-dispatch cross-page crop compaction: [B, K, h, w, 3] + valid
-        [B, K] -> [bucket, h, w, 3], live crops first in (page, slot) order.
-        Replaces a per-page slice/concat/pad chain whose dispatch latency
-        dominates on remote backends."""
-        key = (b, k, bucket)
+    def _crop_recognize_fn(self, b: int, k: int, bucket: int,
+                           h: int, w: int, channels: int):
+        """Fused lazy-crop + recognition program.
+
+        (images [B,H,W,C], rects [B,K,4] or corners [B,K,4,2], valid [B,K])
+        -> (ids [bucket, T], conf [bucket]).
+
+        Crops are extracted ONLY for the live bucket: detection's box budget
+        is max_boxes per page, but real pages rarely fill it, so warping all
+        B*K slots (the eager design) wastes both MXU time and a
+        [B,K,rec_h,rec_w,3] HBM slab. Here one program compacts (page, slot)
+        raster-order live rects across the batch, gathers each row's source
+        page, warps just those crops, and runs PARSEQ — a single dispatch
+        chained after detection with no host sync.
+        """
+        key = (b, k, bucket, h, w, channels)
         if key in self._slab_fns:
             return self._slab_fns[key]
+        cfg = self.config
+        rotated = cfg.box_mode == "rotated" and not (
+            cfg.tiled_detection and cfg.mag_ratio * max(h, w) > cfg.canvas_size
+        )
+        rh, rw = cfg.rec_height, cfg.rec_width
 
-        def gather(crops, valid):
-            flat = crops.reshape((b * k,) + crops.shape[2:])
-            order = jnp.argsort(~valid.reshape(-1), stable=True)
-            return flat[order[:bucket]]
+        def crop_recognize(params, images, rects, valid):
+            if images.ndim == 3:  # [B, H, W] grayscale
+                images = images[..., None]
+            imgs = images.astype(jnp.float32)
+            order = jnp.argsort(~valid.reshape(-1), stable=True)[:bucket]
+            src = jnp.take(imgs, order // k, axis=0)  # [bucket, H, W, C]
+            if rotated:
+                cr = jnp.take(rects.reshape(b * k, 4, 2), order, axis=0)
+                crops = jax.vmap(
+                    lambda im, c4: extract_crops_perspective(im, c4[None], rh, rw)[0]
+                )(src, cr)
+            else:
+                rc = jnp.take(rects.reshape(b * k, 4), order, axis=0)
+                crops = jax.vmap(
+                    lambda im, r1: extract_crops(im, r1[None], rh, rw)[0]
+                )(src, rc)
+            if crops.shape[-1] == 1:  # grayscale -> RGB for the recognizer
+                crops = jnp.broadcast_to(crops, crops.shape[:-1] + (3,))
+            if cfg.channel_mode == "cpp":
+                crops = crops[..., ::-1]
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
 
-        fn = jax.jit(gather)
+                crops = jax.lax.with_sharding_constraint(
+                    crops, NamedSharding(self.mesh, P("dp")))
+            return self._recognize_body(params, crops)
+
+        if self.mesh is None:
+            fn = jax.jit(crop_recognize)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            dp = NamedSharding(self.mesh, P("dp"))
+            fn = jax.jit(crop_recognize, in_shardings=(rep, dp, dp, dp))
         self._slab_fns[key] = fn
         return fn
 
@@ -394,41 +436,64 @@ class OcrEngine:
             )
             b = images.shape[0]
 
+        K = self.config.max_boxes
+
+        def pick_bucket(total: int) -> int:
+            # Oversized totals round up to a multiple of max_boxes: a coarse
+            # ladder (at most `b` rungs) so varied multi-page workloads can't
+            # grow the compiled-program cache without bound (one program per
+            # distinct pad32 total otherwise). Clamp to b*K: the gather can't
+            # produce more rows.
+            bkt = self._bucket(total) if total <= K else K * ((total + K - 1) // K)
+            return min(bkt, b * K)
+
+        images_d = jnp.asarray(images)
+
+        def run_recognition(det, bucket: int):
+            """One fused lazy-crop + recognition dispatch (no host sync)."""
+            return self._crop_recognize_fn(b, K, bucket, h, w, c)(
+                self.parseq_params, images_d, det["rects"], det["valid"])
+
         t0 = time.perf_counter()
         with jax.profiler.TraceAnnotation("tuatara_detect"):
-            det = self._detect_fn(b, h, w, c)(self.craft_params, jnp.asarray(images))
-            counts = np.asarray(det["count"])  # syncs
-        t1 = time.perf_counter()
+            det = self._detect_fn(b, h, w, c)(self.craft_params, images_d)
 
-        # Gather live crops across pages into one recognition slab (a single
-        # jitted compaction dispatch; live crops are already valid-first per
-        # page, so slab order is (page, slot) raster order).
-        K = self.config.max_boxes
-        spans = [int(counts[i]) for i in range(b_real)]
-        total = sum(spans)
-        results: List[List[Dict]] = [[] for _ in range(b_real)]
-        if total == 0:
-            self.last_timings = {"detect_s": t1 - t0, "recognize_s": 0.0, "decode_s": 0.0}
-            return results
-
-        # Oversized totals round up to a multiple of max_boxes: a coarse
-        # ladder (at most `b` rungs) so varied multi-page workloads can't
-        # grow the compiled-program cache without bound (one program per
-        # distinct pad32 total otherwise).
-        bucket = self._bucket(total) if total <= K else K * ((total + K - 1) // K)
-        bucket = min(bucket, b * K)  # the gather can't produce more rows
-        slab = self._slab_fn(b, K, bucket)(det["crops"], det["valid"])
-        if self.mesh is not None:
-            # Re-commit to the dp layout the recognition program expects.
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            slab = jax.device_put(slab, NamedSharding(self.mesh, P("dp")))
-
+        # Speculative recognition: the bucket choice needs the live box count,
+        # but fetching it is a full host round-trip that would serialize with
+        # an otherwise fully device-side dispatch chain. On steady workloads
+        # (run_stream) counts barely move, so recognition is dispatched
+        # immediately at the previous batch's bucket and count + results come
+        # back in ONE combined fetch; a too-small guess falls back to a
+        # correctly-sized second recognition pass (counted in timings).
+        spec = self._spec_bucket if self._spec_batch == b else None
         with jax.profiler.TraceAnnotation("tuatara_recognize"):
-            ids_d, conf_d = self._recognize_fn(bucket)(self.parseq_params, slab)
-            # One combined D2H fetch (each transfer pays full round-trip
-            # latency on remote backends).
-            ids, conf, bboxes = jax.device_get((ids_d, conf_d, det["bbox"]))
+            if spec is not None:
+                ids_d, conf_d = run_recognition(det, spec)
+                counts, ids, conf, bboxes = jax.device_get(
+                    (det["count"], ids_d, conf_d, det["bbox"]))
+            else:
+                counts, bboxes = jax.device_get((det["count"], det["bbox"]))
+            t1 = time.perf_counter()
+
+            spans = [int(counts[i]) for i in range(b_real)]
+            total = sum(spans)
+            results: List[List[Dict]] = [[] for _ in range(b_real)]
+            if total == 0:
+                self._spec_bucket, self._spec_batch = None, None
+                self.last_timings = {
+                    "detect_s": t1 - t0, "recognize_s": 0.0, "decode_s": 0.0,
+                    "boxes": 0,
+                }
+                return results
+
+            bucket = pick_bucket(total)
+            if spec is None or spec < total:
+                # No / failed speculation: one correctly-sized pass. (With a
+                # sufficient speculative bucket the first `total` slab rows
+                # are already the live crops in (page, slot) order.)
+                ids_d, conf_d = run_recognition(det, bucket)
+                ids, conf = jax.device_get((ids_d, conf_d))
+            self._spec_bucket, self._spec_batch = bucket, b
         t2 = time.perf_counter()
 
         with jax.profiler.TraceAnnotation("tuatara_decode"):
@@ -454,6 +519,19 @@ class OcrEngine:
         }
         logger.info("ocr timings %s", self.last_timings)
         return results
+
+    def run_lines(self, image: np.ndarray, **group_kwargs) -> List[Dict]:
+        """OCR one image -> line-level hierarchy.
+
+        Words are detected and recognized as usual, then grouped into lines
+        (ops/grouping.py — the reference's open TODO of merging horizontally
+        adjacent boxes, tuatara.cpp:411-414). Returns
+        [{text, bbox, confidence, words}] in reading order; each `words`
+        entry is a standard word result.
+        """
+        from tuatara_tpu.ops.grouping import group_lines
+
+        return group_lines(self.run(image), **group_kwargs)
 
     def run_stream(self, batches, prefetch: int = 2) -> "list[List[List[Dict]]]":
         """OCR an iterable of same-shaped page batches, overlapping each

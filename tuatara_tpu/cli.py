@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode-mode", choices=["greedy", "beam"], default=None)
     p.add_argument("--beam-size", type=int, default=None)
     p.add_argument("--channel-mode", choices=["python", "cpp", "rgb"], default=None)
+    p.add_argument("--lines", action="store_true",
+                   help="group words into line-level hierarchy "
+                        "(one JSON object per line, with member words)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -77,6 +80,10 @@ def main(argv=None) -> int:
     engine = get_engine(config, args.weights_dir)
     t0 = time.perf_counter()
     results = engine.run(image, args.outputs_dir)
+    if args.lines:
+        from tuatara_tpu.ops.grouping import group_lines
+
+        results = group_lines(results)
     elapsed = time.perf_counter() - t0
 
     for r in results:

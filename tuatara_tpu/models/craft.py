@@ -108,39 +108,38 @@ def fold_batchnorms(params: Params, eps: float = 1e-5) -> Params:
 
     y = scale*(conv(x)+b - mean)*rsqrt(var+eps) + bias is exactly a conv
     with w' = w*g and b' = (b-mean)*g + bias where g = scale*rsqrt(var+eps).
-    The BN entries are replaced with identities so the forward graph is
-    unchanged structurally but the per-channel normalization passes vanish
-    (XLA folds the identity BN into the conv epilogue). Serving-path
-    optimization; training keeps live BNs. Jitted as one program — dozens of
-    eager elementwise ops would dominate engine startup on remote backends.
-    `eps` must equal the CraftConfig.bn_eps the forward pass uses.
+    The BN entries are REMOVED from the tree and `craft_forward` skips the
+    normalization op entirely when a block has no "bn" key — with the BN op
+    present (even as an identity) every conv output round-trips through an
+    fp32 elementwise pass, doubling activation bytes between convs; removing
+    it keeps the whole trunk in the compute dtype with ReLUs fused into conv
+    epilogues. Serving-path optimization; training keeps live BNs. Jitted as
+    one program — dozens of eager elementwise ops would dominate engine
+    startup on remote backends. `eps` must equal the CraftConfig.bn_eps the
+    running stats were folded under. Idempotent on already-folded trees.
     """
+    if "bn" not in next(iter(params["vgg"].values())):
+        return params  # already folded
     return _fold_batchnorms_jit(params, eps=eps)
 
 
 @functools.partial(jax.jit, static_argnames=("eps",))
 def _fold_batchnorms_jit(params: Params, eps: float) -> Params:
-    p = jax.tree.map(lambda x: x, params)  # rebuild the tree (leaves shared)
-
     def fold(conv, bn):
         g = bn["scale"] * jax.lax.rsqrt(bn["var"] + eps)
         new_conv = {"w": conv["w"] * g[None, None, None, :]}
         b = conv.get("b", 0.0)
         new_conv["b"] = (b - bn["mean"]) * g + bn["bias"]
-        ident = {
-            "scale": jnp.ones_like(bn["scale"]),
-            "bias": jnp.zeros_like(bn["bias"]),
-            "mean": jnp.zeros_like(bn["mean"]),
-            # identity under the forward pass's eps: rsqrt((1-eps)+eps) == 1
-            "var": jnp.ones_like(bn["var"]) - eps,
-        }
-        return new_conv, ident
+        return new_conv
 
-    for name, blk in p["vgg"].items():
-        blk["conv"], blk["bn"] = fold(blk["conv"], blk["bn"])
-    for name, blk in p["up"].items():
-        blk["conv1"], blk["bn1"] = fold(blk["conv1"], blk["bn1"])
-        blk["conv2"], blk["bn2"] = fold(blk["conv2"], blk["bn2"])
+    p: Params = {"fc": params["fc"], "head": params["head"], "vgg": {}, "up": {}}
+    for name, blk in params["vgg"].items():
+        p["vgg"][name] = {"conv": fold(blk["conv"], blk["bn"])}
+    for name, blk in params["up"].items():
+        p["up"][name] = {
+            "conv1": fold(blk["conv1"], blk["bn1"]),
+            "conv2": fold(blk["conv2"], blk["bn2"]),
+        }
     return p
 
 
@@ -199,7 +198,14 @@ def _craft_apply(
     updated: Dict[Tuple[str, str, str], Params] = {}
 
     def bn(group: str, block: str, key: str, h: jnp.ndarray) -> jnp.ndarray:
-        bnp = params[group][block][key]
+        bnp = params[group][block].get(key)
+        if bnp is None:  # BN folded into the conv (fold_batchnorms)
+            if train:
+                raise ValueError(
+                    "training-mode forward on BN-folded params: fold_batchnorms "
+                    "is a serving-path transform; train on the raw checkpoint"
+                )
+            return h
         if not train:
             return L.batchnorm(bnp, h, eps)
         y, new = L.batchnorm_train(bnp, h, eps, momentum)

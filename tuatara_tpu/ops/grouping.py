@@ -1,0 +1,81 @@
+"""Word-box grouping into line-level hierarchy.
+
+Implements the reference's open TODO (tuatara.cpp:411-414: "group
+horizontally adjacent boxes" for more recognition context) as a post-pass
+over recognized word results. This is deliberate HOST logic: after detection
+there are at most `max_boxes` items, so grouping is microseconds of Python —
+device work would only add dispatch latency.
+
+Algorithm: single pass in (y, x) order. A word joins an existing line when
+its vertical interval overlaps the line's by at least
+`min_vertical_overlap` of the smaller height (text on one baseline overlaps
+heavily; different lines barely at all). Within a line, words sort by x and
+split into segments wherever the horizontal gap exceeds
+`max_gap_ratio * line height` — that keeps table cells and multi-column
+layouts from fusing across whitespace (the failure mode a naive
+sort-by-(y,x) reading order, run_ocr.py:12, exhibits on tables).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List
+
+
+def group_lines(
+    results: List[Dict],
+    min_vertical_overlap: float = 0.4,
+    max_gap_ratio: float = 2.0,
+) -> List[Dict]:
+    """Group word results [{text, bbox, confidence}] into lines.
+
+    Returns [{text, bbox, confidence, words}] sorted in reading order:
+    `text` is the x-ordered words joined by spaces, `bbox` the union AABB,
+    `confidence` the geometric mean of the member words' confidences (a
+    per-character-ish quality score that doesn't shrink with line length the
+    way a product would), `words` the member word dicts in x order.
+    """
+    lines: List[Dict] = []
+    for r in sorted(results, key=lambda r: (r["bbox"][1], r["bbox"][0])):
+        x0, y0, x1, y1 = r["bbox"]
+        h = max(y1 - y0, 1.0)
+        best, best_ov = None, min_vertical_overlap
+        for ln in lines:
+            ov = min(y1, ln["y1"]) - max(y0, ln["y0"])
+            denom = max(min(h, ln["y1"] - ln["y0"]), 1.0)
+            if ov / denom >= best_ov:
+                best, best_ov = ln, ov / denom
+        if best is None:
+            lines.append({"y0": y0, "y1": y1, "words": [r]})
+        else:
+            best["words"].append(r)
+            best["y0"] = min(best["y0"], y0)
+            best["y1"] = max(best["y1"], y1)
+
+    out: List[Dict] = []
+    for ln in lines:
+        words = sorted(ln["words"], key=lambda r: r["bbox"][0])
+        height = max(ln["y1"] - ln["y0"], 1.0)
+        segments: List[List[Dict]] = [[words[0]]]
+        for prev, cur in zip(words, words[1:]):
+            if cur["bbox"][0] - prev["bbox"][2] > max_gap_ratio * height:
+                segments.append([cur])
+            else:
+                segments[-1].append(cur)
+        for seg in segments:
+            bbox = [
+                min(w["bbox"][0] for w in seg),
+                min(w["bbox"][1] for w in seg),
+                max(w["bbox"][2] for w in seg),
+                max(w["bbox"][3] for w in seg),
+            ]
+            confs = [max(w.get("confidence", 1.0), 1e-30) for w in seg]
+            conf = math.exp(sum(math.log(c) for c in confs) / len(confs))
+            out.append({
+                "text": " ".join(w["text"] for w in seg),
+                "bbox": bbox,
+                "confidence": conf,
+                "words": seg,
+            })
+    out.sort(key=lambda l: (l["bbox"][1], l["bbox"][0]))
+    return out

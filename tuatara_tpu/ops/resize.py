@@ -77,7 +77,8 @@ def detect_canvas(
     canvas_h, canvas_w, ch, cw, ratio = canvas_shape(h, w, cfg)
     th, tw, _ = resize_geometry(h, w, cfg)
     x = image.astype(jnp.float32)
-    x = jax.image.resize(x, (th, tw, 3), method="bilinear")
+    if (th, tw) != (h, w):  # ratio 1.0 -> identity resample, skip the gather
+        x = jax.image.resize(x, (th, tw, 3), method="bilinear")
     x = jnp.pad(x, ((0, canvas_h - th), (0, canvas_w - tw), (0, 0)))
     return (x / 255.0)[None], ratio, (ch, cw)
 
