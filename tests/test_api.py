@@ -41,6 +41,7 @@ def _page(rng, h=96, w=120):
     return img
 
 
+@pytest.mark.slow
 def test_run_returns_contract(engine, rng):
     out = engine.run(_page(rng))
     assert isinstance(out, list)
@@ -54,6 +55,7 @@ def test_run_returns_contract(engine, rng):
     assert set(engine.last_timings) >= {"detect_s", "recognize_s", "decode_s"}
 
 
+@pytest.mark.slow
 def test_determinism(engine, rng):
     img = _page(rng)
     a = engine.run(img)
@@ -61,6 +63,7 @@ def test_determinism(engine, rng):
     assert a == b
 
 
+@pytest.mark.slow
 def test_compile_caching(engine, rng):
     img = _page(rng)
     engine.run(img)
@@ -71,6 +74,7 @@ def test_compile_caching(engine, rng):
     assert len(engine._detect_fns) == n + 1
 
 
+@pytest.mark.slow
 def test_run_pages_batched_matches_single(engine, rng):
     imgs = np.stack([_page(rng), _page(rng)])
     batched = engine.run_pages(imgs)
@@ -81,6 +85,7 @@ def test_run_pages_batched_matches_single(engine, rng):
         assert [i["bbox"] for i in b] == [i["bbox"] for i in s]
 
 
+@pytest.mark.slow
 def test_beam_decode_mode(rng):
     import dataclasses
 
@@ -92,6 +97,7 @@ def test_beam_decode_mode(rng):
         assert isinstance(item["text"], str)
 
 
+@pytest.mark.slow
 def test_dense_page_fills_buckets(rng):
     """Aggressive thresholds on noise produce many boxes, exercising larger
     recognition buckets and the multi-page slab assembly at high counts."""
@@ -110,6 +116,7 @@ def test_dense_page_fills_buckets(rng):
             assert len(item["bbox"]) == 4
 
 
+@pytest.mark.slow
 def test_grayscale_input_bit_identical_to_rgb(engine, rng):
     """[B,H,W] / [B,H,W,1] / [H,W] grayscale inputs produce exactly the
     results of the channel-tripled RGB batch (the on-device broadcast path
@@ -140,6 +147,7 @@ def test_missing_weights_dir_raises():
         OcrEngine(TINY_OCR, TINY_CRAFT, TINY_PARSEQ, weights_dir="/nonexistent")
 
 
+@pytest.mark.slow
 def test_weights_roundtrip(engine, rng, tmp_path):
     from tuatara_tpu.utils import weights as W
 

@@ -32,6 +32,7 @@ def _batch(rng, B=2, N=4, T=7):
     }
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_bit_identical(tmp_path, rng):
     state, tx = init_train_state(jax.random.PRNGKey(0), TINY_CRAFT, TINY_PARSEQ)
     step = jax.jit(functools.partial(
@@ -56,6 +57,7 @@ def test_checkpoint_resume_bit_identical(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_checkpoint_servable_by_engine(tmp_path, rng):
     """A training checkpoint is directly a serving weights_dir."""
     from tuatara_tpu.api import OcrEngine

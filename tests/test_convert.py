@@ -67,6 +67,7 @@ def _synthetic_craft_sd(rng):
     return sd
 
 
+@pytest.mark.slow
 def test_craft_conversion_structure(rng):
     sd = _synthetic_craft_sd(rng)
     converted = convert_craft_state_dict(sd)

@@ -44,6 +44,7 @@ TINY_PARSEQ = ParseqConfig(
 
 
 @pytest.mark.skipif(not os.path.isfile(IMAGE), reason="reference image absent")
+@pytest.mark.slow
 def test_golden_pipeline_regression():
     with open(FIXTURE) as f:
         fix = json.load(f)

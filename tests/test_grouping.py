@@ -2,6 +2,7 @@
 tuatara.cpp:411-414)."""
 
 import numpy as np
+import pytest
 
 from tuatara_tpu.ops.grouping import group_lines
 
@@ -57,6 +58,7 @@ def test_empty_input():
     assert group_lines([]) == []
 
 
+@pytest.mark.slow
 def test_engine_run_lines_contract(rng):
     """run_lines produces the hierarchy over a real engine run."""
     from tuatara_tpu.api import OcrEngine

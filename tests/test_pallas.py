@@ -58,6 +58,7 @@ def test_stats_kernel_matches_onehot(rng):
     np.testing.assert_allclose(np.asarray(peak), want_peak, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_extract_boxes_pallas_path_matches(rng):
     """Full extract_boxes with kernels forced on (interpret via CPU) equals
     the XLA path."""

@@ -118,6 +118,7 @@ def test_beam1_matches_greedy(setup):
         np.testing.assert_array_equal(b[:upto], g[:upto])
 
 
+@pytest.mark.slow
 def test_beam_search_scores_no_worse_than_greedy(setup):
     """A wider beam's (unnormalized-comparable) sequence log-prob is >= the
     greedy path's for every crop."""

@@ -71,6 +71,7 @@ def test_perspective_crop_rectifies():
     assert col_var < 0.3 * row_var, (col_var, row_var)
 
 
+@pytest.mark.slow
 def test_engine_rotated_mode_runs(rng):
     cfg = OcrConfig(canvas_size=128, max_boxes=16, rec_buckets=(16,),
                     max_label_length=7, box_mode="rotated")

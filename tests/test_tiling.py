@@ -42,6 +42,7 @@ def test_extract_and_stitch_roundtrip(rng):
     np.testing.assert_allclose(full, want, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_engine_tiled_path(rng):
     """A page bigger than the canvas goes through tiling and produces the
     standard output contract; a white page yields no boxes."""

@@ -61,6 +61,7 @@ def test_perm_mask_lr_is_causal():
             assert m[q, c] == (c <= q), (q, c)
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_descends():
     rng = np.random.default_rng(0)
     state, tx = init_train_state(jax.random.PRNGKey(0), TINY_CRAFT, TINY_PARSEQ)
@@ -118,6 +119,7 @@ def test_craft_forward_train_updates_bn_stats():
     )
 
 
+@pytest.mark.slow
 def test_train_step_threads_bn_running_stats():
     """After a step, the new state's BN mean/var are the train-forward's
     updated buffers (not optimizer-mangled), matching a direct recompute."""
@@ -181,6 +183,7 @@ def test_plm_loss_ignores_padding_content():
     np.testing.assert_array_equal(base, np.asarray(lossf(mutated)))
 
 
+@pytest.mark.slow
 def test_train_step_sharded_matches_single_device():
     rng = np.random.default_rng(0)
     state, tx = init_train_state(jax.random.PRNGKey(0), TINY_CRAFT, TINY_PARSEQ)
@@ -205,6 +208,7 @@ def test_train_step_sharded_matches_single_device():
     assert len(w.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_shard_mid_training_preserves_optimizer_state():
     """Sharding a mid-training state must keep Adam moments/step (regression:
     an earlier version re-ran tx.init, silently zeroing them)."""
@@ -245,6 +249,7 @@ def test_run_stream_propagates_producer_errors():
         eng.run_stream(gen())
 
 
+@pytest.mark.slow
 def test_engine_with_mesh_matches_unsharded():
     from tuatara_tpu.api import OcrEngine
 
