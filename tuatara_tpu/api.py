@@ -417,7 +417,19 @@ class OcrEngine:
         The high-throughput path: detection runs batched, all pages' live
         crops are recognized in one PARSEQ slab, results are split per page.
         Device-resident (jax.Array) input is passed through without a host
-        round-trip — pair with `prefetch` to overlap H2D with compute.
+        round-trip — pair with `run_stream` to overlap H2D and result
+        fetches with compute.
+        """
+        return self._finalize(self._dispatch(images))
+
+    def _dispatch(self, images) -> Dict[str, Any]:
+        """Issue the device work for one page batch without any host sync.
+
+        Chains detection and (when a speculative bucket is known from the
+        previous batch) the fused lazy-crop + recognition program; returns a
+        state dict for `_finalize`. Dispatch/finalize are split so a
+        pipelined caller (run_stream) can overlap batch i's result fetch
+        with batch i+1's compute.
         """
         images, b, h, w, c = self._batch_geometry(images)
         if images.size == 0:
@@ -436,24 +448,7 @@ class OcrEngine:
             )
             b = images.shape[0]
 
-        K = self.config.max_boxes
-
-        def pick_bucket(total: int) -> int:
-            # Oversized totals round up to a multiple of max_boxes: a coarse
-            # ladder (at most `b` rungs) so varied multi-page workloads can't
-            # grow the compiled-program cache without bound (one program per
-            # distinct pad32 total otherwise). Clamp to b*K: the gather can't
-            # produce more rows.
-            bkt = self._bucket(total) if total <= K else K * ((total + K - 1) // K)
-            return min(bkt, b * K)
-
         images_d = jnp.asarray(images)
-
-        def run_recognition(det, bucket: int):
-            """One fused lazy-crop + recognition dispatch (no host sync)."""
-            return self._crop_recognize_fn(b, K, bucket, h, w, c)(
-                self.parseq_params, images_d, det["rects"], det["valid"])
-
         t0 = time.perf_counter()
         with jax.profiler.TraceAnnotation("tuatara_detect"):
             det = self._detect_fn(b, h, w, c)(self.craft_params, images_d)
@@ -464,50 +459,77 @@ class OcrEngine:
         # (run_stream) counts barely move, so recognition is dispatched
         # immediately at the previous batch's bucket and count + results come
         # back in ONE combined fetch; a too-small guess falls back to a
-        # correctly-sized second recognition pass (counted in timings).
+        # correctly-sized second recognition pass in _finalize.
         spec = self._spec_bucket if self._spec_batch == b else None
-        with jax.profiler.TraceAnnotation("tuatara_recognize"):
-            if spec is not None:
-                ids_d, conf_d = run_recognition(det, spec)
+        rec = None
+        if spec is not None:
+            with jax.profiler.TraceAnnotation("tuatara_recognize"):
+                rec = self._run_recognition(det, spec, b, h, w, c, images_d)
+        return {
+            "det": det, "rec": rec, "spec": spec, "images_d": images_d,
+            "b": b, "b_real": b_real, "h": h, "w": w, "c": c, "t0": t0,
+        }
+
+    def _run_recognition(self, det, bucket, b, h, w, c, images_d):
+        """One fused lazy-crop + recognition dispatch (no host sync)."""
+        return self._crop_recognize_fn(b, self.config.max_boxes, bucket, h, w, c)(
+            self.parseq_params, images_d, det["rects"], det["valid"])
+
+    def _finalize(self, st: Dict[str, Any]) -> List[List[Dict]]:
+        """Fetch + decode one dispatched batch (see _dispatch)."""
+        det, rec, spec = st["det"], st["rec"], st["spec"]
+        b, b_real = st["b"], st["b_real"]
+        K = self.config.max_boxes
+        t0 = st["t0"]
+
+        with jax.profiler.TraceAnnotation("tuatara_fetch"):
+            if rec is not None:
                 counts, ids, conf, bboxes = jax.device_get(
-                    (det["count"], ids_d, conf_d, det["bbox"]))
+                    (det["count"], rec[0], rec[1], det["bbox"]))
             else:
                 counts, bboxes = jax.device_get((det["count"], det["bbox"]))
             t1 = time.perf_counter()
 
-            spans = [int(counts[i]) for i in range(b_real)]
-            total = sum(spans)
-            results: List[List[Dict]] = [[] for _ in range(b_real)]
-            if total == 0:
-                self._spec_bucket, self._spec_batch = None, None
-                self.last_timings = {
-                    "detect_s": t1 - t0, "recognize_s": 0.0, "decode_s": 0.0,
-                    "boxes": 0,
-                }
-                return results
+        spans = [int(counts[i]) for i in range(b_real)]
+        total = sum(spans)
+        results: List[List[Dict]] = [[] for _ in range(b_real)]
+        if total == 0:
+            self._spec_bucket, self._spec_batch = None, None
+            self.last_timings = {
+                "detect_s": t1 - t0, "recognize_s": 0.0, "decode_s": 0.0,
+                "boxes": 0,
+            }
+            return results
 
-            bucket = pick_bucket(total)
-            if spec is None or spec < total:
-                # No / failed speculation: one correctly-sized pass. (With a
-                # sufficient speculative bucket the first `total` slab rows
-                # are already the live crops in (page, slot) order.)
-                ids_d, conf_d = run_recognition(det, bucket)
+        # Oversized totals round up to a multiple of max_boxes: a coarse
+        # ladder (at most `b` rungs) so varied multi-page workloads can't
+        # grow the compiled-program cache without bound. Clamp to b*K: the
+        # gather can't produce more rows.
+        bucket = self._bucket(total) if total <= K else K * ((total + K - 1) // K)
+        bucket = min(bucket, b * K)
+        if spec is None or spec < total:
+            # No / failed speculation: one correctly-sized pass. (With a
+            # sufficient speculative bucket the first `total` slab rows are
+            # already the live crops in (page, slot) order.)
+            with jax.profiler.TraceAnnotation("tuatara_recognize"):
+                ids_d, conf_d = self._run_recognition(
+                    det, bucket, b, st["h"], st["w"], st["c"], st["images_d"])
                 ids, conf = jax.device_get((ids_d, conf_d))
-            self._spec_bucket, self._spec_batch = bucket, b
+        self._spec_bucket, self._spec_batch = bucket, b
         t2 = time.perf_counter()
 
         with jax.profiler.TraceAnnotation("tuatara_decode"):
             texts = self.tokenizer.decode_ids(ids[:total])
             off = 0
             for i in range(b_real):
-                c = spans[i]
-                for j in range(c):
+                n_i = spans[i]
+                for j in range(n_i):
                     results[i].append({
                         "text": texts[off + j],
                         "bbox": [float(v) for v in bboxes[i, j]],
                         "confidence": float(conf[off + j]),
                     })
-                off += c
+                off += n_i
         t3 = time.perf_counter()
 
         self.last_timings = {
@@ -533,11 +555,15 @@ class OcrEngine:
 
         return group_lines(self.run(image), **group_kwargs)
 
-    def run_stream(self, batches, prefetch: int = 2) -> "list[List[List[Dict]]]":
-        """OCR an iterable of same-shaped page batches, overlapping each
-        batch's host->device transfer with the previous batches' compute
-        (transfers are issued from a background thread, `prefetch` batches
-        ahead). This is the serving-loop pattern; per-batch results are
+    def run_stream(self, batches, prefetch: int = 2,
+                   depth: int = 1) -> "list[List[List[Dict]]]":
+        """OCR an iterable of same-shaped page batches — the serving loop.
+
+        Overlaps, per batch: host->device transfer (issued from a background
+        thread, `prefetch` batches ahead), compute (detect + speculative
+        recognition dispatched with no host sync), and the device->host
+        result fetch (`depth` batches in flight, so a fetch's round-trip
+        latency hides under the next batch's compute). Per-batch results are
         returned in order."""
         import queue
         import threading
@@ -556,7 +582,14 @@ class OcrEngine:
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
+        # Software pipeline: batch i's result fetch (a full host round-trip
+        # on remote backends) happens AFTER batch i+1's programs are already
+        # dispatched, so the device never idles waiting on the host. `depth`
+        # in-flight batches; 1 suffices to hide one round-trip.
+        from collections import deque
+
         out = []
+        pending: "deque" = deque()
         while True:
             cur = q.get()
             if cur is _END:
@@ -564,7 +597,11 @@ class OcrEngine:
             if isinstance(cur, BaseException):
                 t.join()
                 raise cur
-            out.append(self.run_pages(cur))
+            pending.append(self._dispatch(cur))
+            if len(pending) > depth:
+                out.append(self._finalize(pending.popleft()))
+        while pending:
+            out.append(self._finalize(pending.popleft()))
         t.join()
         return out
 
