@@ -30,7 +30,7 @@ import numpy as np
 
 PAGES = 16
 WARMUP = 2
-ITERS = 5
+ITERS = 10
 TARGET_PAGES_PER_SEC = 100.0
 
 FUNSD = "/root/reference/images/funsd_0001129658.png"
