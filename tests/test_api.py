@@ -134,6 +134,19 @@ def test_grayscale_input_bit_identical_to_rgb(engine, rng):
         engine.run_pages(np.zeros((2, 4, 4, 2), np.uint8))
 
 
+@pytest.mark.slow
+def test_warmup_compiles_serving_programs(engine):
+    """warmup() must pre-compile the programs the serving path actually uses
+    (detect + lazy-crop + recognition), so the first live request pays no
+    compile (regression: it used to warm a bench-only recognizer)."""
+    engine.warmup(64, 80)
+    K = engine.config.max_boxes
+    b0 = engine._bucket(1)
+    assert (1, K, b0, 64, 80, 3) in engine._slab_fns
+    assert b0 in engine._recognize_fns
+    assert (1, 64, 80, 3) in engine._detect_fns
+
+
 def test_input_validation():
     with pytest.raises(ValueError):
         image_to_data(np.zeros((4, 4), np.uint8))  # ndim != 3

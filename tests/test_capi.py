@@ -36,9 +36,17 @@ class _Item(ctypes.Structure):
                 ("confidence", ctypes.c_float)]
 
 
+def _stale(binary: str, *sources: str) -> bool:
+    return not os.path.isfile(binary) or any(
+        os.path.getmtime(binary) < os.path.getmtime(s) for s in sources
+    )
+
+
 @pytest.fixture(scope="module")
 def capi():
-    if not os.path.isfile(SO) and not _build("libtuatara_capi.so"):
+    srcs = (os.path.join(NATIVE_DIR, "tuatara_capi.cpp"),
+            os.path.join(NATIVE_DIR, "tuatara_capi.h"))
+    if _stale(SO, *srcs) and not _build("libtuatara_capi.so"):
         pytest.skip("C ABI library unavailable (g++/Python headers missing?)")
     lib = ctypes.CDLL(SO)
     lib.tuatara_image_to_data.restype = ctypes.c_int
@@ -106,7 +114,8 @@ def test_capi_grayscale_and_errors(capi):
 def test_capi_standalone_binary():
     """A plain C program (no Python host) linked against the C ABI runs the
     full pipeline: the embedded-interpreter path."""
-    if not os.path.isfile(EXAMPLE) and not _build("capi_example"):
+    if _stale(EXAMPLE, os.path.join(NATIVE_DIR, "capi_example.c"),
+              os.path.join(NATIVE_DIR, "tuatara_capi.cpp")) and not _build("capi_example"):
         pytest.skip("cannot build capi_example")
     env = dict(os.environ)
     repo = os.path.dirname(NATIVE_DIR)

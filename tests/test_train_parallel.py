@@ -100,13 +100,21 @@ def test_craft_forward_train_updates_bn_stats():
     )(params, x)
     assert not np.allclose(np.asarray(scores_t), np.asarray(scores_i))
 
-    # First BN's new running mean == 0.9*old + 0.1*batch_mean(conv output).
+    # First BN's running stats follow torch semantics: mean update from the
+    # batch mean, var update from the UNBIASED (ddof=1) batch variance.
     h = L.conv2d(params["vgg"]["conv1_1"]["conv"], x, compute_dtype=jnp.float32)
-    bm = np.asarray(h).astype(np.float64).mean((0, 1, 2))
+    ha = np.asarray(h).astype(np.float64)
+    bm = ha.mean((0, 1, 2))
+    bv = ha.var((0, 1, 2), ddof=1)
     old = np.asarray(params["vgg"]["conv1_1"]["bn"]["mean"])
+    old_v = np.asarray(params["vgg"]["conv1_1"]["bn"]["var"])
     np.testing.assert_allclose(
         np.asarray(newp["vgg"]["conv1_1"]["bn"]["mean"]),
         0.9 * old + 0.1 * bm, rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(newp["vgg"]["conv1_1"]["bn"]["var"]),
+        0.9 * old_v + 0.1 * bv, rtol=1e-4, atol=1e-6,
     )
     # Decoder BNs update too; weights pass through untouched.
     assert not np.allclose(
@@ -247,6 +255,32 @@ def test_run_stream_propagates_producer_errors():
 
     with pytest.raises(RuntimeError, match="bad batch source"):
         eng.run_stream(gen())
+
+
+@pytest.mark.slow
+def test_sharded_ocr_programs_export():
+    """The parallel.sharded_ocr_programs helper composes with the lazy-crop
+    detect output (regression: it previously expected a 'crops' key detect
+    no longer emits)."""
+    from tuatara_tpu.api import OcrEngine
+    from tuatara_tpu.parallel import shard_pages, sharded_ocr_programs
+
+    cfg = OcrConfig(canvas_size=128, max_boxes=16, rec_buckets=(16,),
+                    max_label_length=7)
+    mesh = make_mesh(8, axes=("dp",))
+    eng = OcrEngine(cfg, TINY_CRAFT, TINY_PARSEQ, seed=0, mesh=mesh)
+    with pytest.raises(ValueError, match="mesh"):
+        sharded_ocr_programs(OcrEngine(cfg, TINY_CRAFT, TINY_PARSEQ, seed=0),
+                             mesh, 8, 64, 64)
+    detect, recognize_for = sharded_ocr_programs(eng, mesh, 8, 64, 64)
+
+    rng = np.random.default_rng(0)
+    pages = shard_pages(mesh, rng.integers(0, 255, (8, 64, 64, 3)).astype(np.uint8))
+    det = detect(eng.craft_params, pages)
+    assert set(det) >= {"bbox", "valid", "rects", "count"}
+    ids, conf = recognize_for(16)(eng.parseq_params, pages, det["rects"],
+                                  det["valid"])
+    assert ids.shape[0] == 16 and conf.shape == (16,)
 
 
 @pytest.mark.slow

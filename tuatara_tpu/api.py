@@ -294,20 +294,22 @@ class OcrEngine:
         self._recognize_fns[n] = recognize
         return recognize
 
-    def _crop_recognize_fn(self, b: int, k: int, bucket: int,
-                           h: int, w: int, channels: int):
-        """Fused lazy-crop + recognition program.
+    def _crop_fn(self, b: int, k: int, bucket: int,
+                 h: int, w: int, channels: int):
+        """Lazy crop-extraction program (page-shape keyed, cheap compile).
 
-        (images [B,H,W,C], rects [B,K,4] or corners [B,K,4,2], valid [B,K])
-        -> (ids [bucket, T], conf [bucket]).
+        (images [B,H,W,C] uint8, rects [B,K,4] or corners [B,K,4,2],
+        valid [B,K]) -> crops [bucket, rec_h, rec_w, 3] in [0,1].
 
         Crops are extracted ONLY for the live bucket: detection's box budget
         is max_boxes per page, but real pages rarely fill it, so warping all
         B*K slots (the eager design) wastes both MXU time and a
-        [B,K,rec_h,rec_w,3] HBM slab. Here one program compacts (page, slot)
+        [B,K,rec_h,rec_w,3] HBM slab. The program compacts (page, slot)
         raster-order live rects across the batch, gathers each row's source
-        page, warps just those crops, and runs PARSEQ — a single dispatch
-        chained after detection with no host sync.
+        page IN UINT8 (the fp32 cast happens inside the per-row warp, fused
+        into the sampling matmuls — gathering pre-cast fp32 pages would
+        materialize bucket full-page duplicates, gigabytes on dense batches),
+        and warps just those crops.
         """
         key = (b, k, bucket, h, w, channels)
         if key in self._slab_fns:
@@ -318,21 +320,22 @@ class OcrEngine:
         )
         rh, rw = cfg.rec_height, cfg.rec_width
 
-        def crop_recognize(params, images, rects, valid):
+        def crop(images, rects, valid):
             if images.ndim == 3:  # [B, H, W] grayscale
                 images = images[..., None]
-            imgs = images.astype(jnp.float32)
             order = jnp.argsort(~valid.reshape(-1), stable=True)[:bucket]
-            src = jnp.take(imgs, order // k, axis=0)  # [bucket, H, W, C]
+            src = jnp.take(images, order // k, axis=0)  # [bucket,H,W,C] uint8
             if rotated:
                 cr = jnp.take(rects.reshape(b * k, 4, 2), order, axis=0)
                 crops = jax.vmap(
-                    lambda im, c4: extract_crops_perspective(im, c4[None], rh, rw)[0]
+                    lambda im, c4: extract_crops_perspective(
+                        im.astype(jnp.float32), c4[None], rh, rw)[0]
                 )(src, cr)
             else:
                 rc = jnp.take(rects.reshape(b * k, 4), order, axis=0)
                 crops = jax.vmap(
-                    lambda im, r1: extract_crops(im, r1[None], rh, rw)[0]
+                    lambda im, r1: extract_crops(
+                        im.astype(jnp.float32), r1[None], rh, rw)[0]
                 )(src, rc)
             if crops.shape[-1] == 1:  # grayscale -> RGB for the recognizer
                 crops = jnp.broadcast_to(crops, crops.shape[:-1] + (3,))
@@ -343,18 +346,33 @@ class OcrEngine:
 
                 crops = jax.lax.with_sharding_constraint(
                     crops, NamedSharding(self.mesh, P("dp")))
-            return self._recognize_body(params, crops)
+            return crops
 
         if self.mesh is None:
-            fn = jax.jit(crop_recognize)
+            fn = jax.jit(crop)
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            rep = NamedSharding(self.mesh, P())
             dp = NamedSharding(self.mesh, P("dp"))
-            fn = jax.jit(crop_recognize, in_shardings=(rep, dp, dp, dp))
+            fn = jax.jit(crop, in_shardings=(dp, dp, dp))
         self._slab_fns[key] = fn
         return fn
+
+    def _crop_recognize_fn(self, b: int, k: int, bucket: int,
+                           h: int, w: int, channels: int):
+        """Lazy-crop + recognition: TWO chained dispatches, no host sync.
+
+        Kept as separate programs so the expensive PARSEQ compile is keyed
+        by bucket only — mixed page shapes reuse it and recompile just the
+        cheap crop program (a fused single program would recompile the
+        recognizer per page shape)."""
+        cropf = self._crop_fn(b, k, bucket, h, w, channels)
+        recf = self._recognize_fn(bucket)
+
+        def run(params, images, rects, valid):
+            return recf(params, cropf(images, rects, valid))
+
+        return run
 
     def _bucket(self, count: int) -> int:
         for b in self.config.rec_buckets:
@@ -533,9 +551,14 @@ class OcrEngine:
         t3 = time.perf_counter()
 
         self.last_timings = {
+            # With speculation (speculative=True) detect_s is the wall time
+            # of the whole dispatch->combined-fetch span (detection AND
+            # recognition overlap inside it; there is no separate recognize
+            # wait), and recognize_s covers only a fallback re-recognition.
             "detect_s": t1 - t0,
             "recognize_s": t2 - t1,
             "decode_s": t3 - t2,
+            "speculative": rec is not None,
             # spans covers real pages only (dp padding pages are dropped).
             "boxes": int(sum(spans)),
         }
@@ -605,18 +628,23 @@ class OcrEngine:
         t.join()
         return out
 
-    def warmup(self, h: int, w: int, batch: int = 1) -> None:
-        """Pre-compile the stage programs for a page shape.
+    def warmup(self, h: int, w: int, batch: int = 1, channels: int = 3) -> None:
+        """Pre-compile the serving programs for a page shape.
 
-        A blank dummy page detects zero boxes, so the recognition program is
-        compiled explicitly for the smallest bucket (larger buckets compile
-        on first use)."""
-        dummy = np.zeros((batch, h, w, 3), np.uint8)
+        A blank dummy page detects zero boxes (so run_pages alone would never
+        reach recognition); the crop + recognition programs are compiled
+        explicitly for the smallest bucket — larger buckets compile on first
+        use."""
+        dummy = np.zeros((batch, h, w, channels), np.uint8)
         self.run_pages(dummy)
+        K = self.config.max_boxes
         b0 = self._bucket(1)
-        crops = jnp.zeros((b0, self.config.rec_height, self.config.rec_width, 3),
-                          jnp.float32)
-        jax.block_until_ready(self._recognize_fn(b0)(self.parseq_params, crops))
+        nrect = (4, 2) if self.config.box_mode == "rotated" else (4,)
+        rects = jnp.zeros((batch, K) + nrect, jnp.float32)
+        valid = jnp.zeros((batch, K), bool)
+        jax.block_until_ready(
+            self._crop_recognize_fn(batch, K, b0, h, w, channels)(
+                self.parseq_params, jnp.asarray(dummy), rects, valid))
 
 
 # ---------------------------------------------------------------------------

@@ -114,16 +114,23 @@ def batchnorm(params: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 def batchnorm_train(
     params: Params, x: jnp.ndarray, eps: float = 1e-5, momentum: float = 0.1
 ) -> Tuple[jnp.ndarray, Params]:
-    """Training-mode batchnorm: batch statistics + updated running stats."""
+    """Training-mode batchnorm: batch statistics + updated running stats.
+
+    torch BatchNorm semantics: normalization uses the BIASED batch variance,
+    but the running-var update uses the UNBIASED (Bessel-corrected) estimate."""
     x32 = x.astype(jnp.float32)
     axes = tuple(range(x.ndim - 1))
+    n = 1
+    for a in axes:
+        n *= x.shape[a]
     mean = jnp.mean(x32, axis=axes)
     var = jnp.var(x32, axis=axes)
     inv = jax.lax.rsqrt(var + eps)
     y = (x32 - mean) * (inv * params["scale"]) + params["bias"]
     new = dict(params)
     new["mean"] = (1 - momentum) * params["mean"] + momentum * mean
-    new["var"] = (1 - momentum) * params["var"] + momentum * var
+    unbiased = var * (n / max(n - 1, 1))
+    new["var"] = (1 - momentum) * params["var"] + momentum * unbiased
     return y, new
 
 

@@ -35,27 +35,35 @@ def group_lines(
     per-character-ish quality score that doesn't shrink with line length the
     way a product would), `words` the member word dicts in x order.
     """
+    # A line's vertical interval is the running MEAN of its members'
+    # intervals, not their union: one tall outlier box (dropped cap, logo,
+    # vertically-merged detection) must not stretch the line to swallow the
+    # next physical line (union extents chain-merge; means stay put).
     lines: List[Dict] = []
     for r in sorted(results, key=lambda r: (r["bbox"][1], r["bbox"][0])):
         x0, y0, x1, y1 = r["bbox"]
         h = max(y1 - y0, 1.0)
         best, best_ov = None, min_vertical_overlap
         for ln in lines:
-            ov = min(y1, ln["y1"]) - max(y0, ln["y0"])
-            denom = max(min(h, ln["y1"] - ln["y0"]), 1.0)
+            ly0, ly1 = ln["sy0"] / ln["n"], ln["sy1"] / ln["n"]
+            ov = min(y1, ly1) - max(y0, ly0)
+            denom = max(min(h, ly1 - ly0), 1.0)
             if ov / denom >= best_ov:
                 best, best_ov = ln, ov / denom
         if best is None:
-            lines.append({"y0": y0, "y1": y1, "words": [r]})
+            lines.append({"sy0": y0, "sy1": y1, "n": 1, "words": [r]})
         else:
             best["words"].append(r)
-            best["y0"] = min(best["y0"], y0)
-            best["y1"] = max(best["y1"], y1)
+            best["sy0"] += y0
+            best["sy1"] += y1
+            best["n"] += 1
 
     out: List[Dict] = []
     for ln in lines:
         words = sorted(ln["words"], key=lambda r: r["bbox"][0])
-        height = max(ln["y1"] - ln["y0"], 1.0)
+        # Gap-splitting scale: median member height (robust to outliers).
+        heights = sorted(w_["bbox"][3] - w_["bbox"][1] for w_ in words)
+        height = max(heights[len(heights) // 2], 1.0)
         segments: List[List[Dict]] = [[words[0]]]
         for prev, cur in zip(words, words[1:]):
             if cur["bbox"][0] - prev["bbox"][2] > max_gap_ratio * height:

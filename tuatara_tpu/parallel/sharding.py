@@ -26,21 +26,29 @@ def shard_pages(mesh: Mesh, pages):
 
 
 def sharded_ocr_programs(
-    engine, mesh: Mesh, batch: int, h: int, w: int
+    engine, mesh: Mesh, batch: int, h: int, w: int, channels: int = 3
 ) -> Tuple[Callable, Callable]:
-    """Build (detect, recognize) programs sharded over `mesh`'s 'dp' axis.
+    """Build (detect, recognize_for) programs sharded over `mesh`'s 'dp' axis.
+
+    detect(craft_params, images[B,H,W,C]) -> {"bbox","valid","rects","count"}
+    recognize_for(bucket)(parseq_params, images, det["rects"], det["valid"])
+        -> (ids, conf) — the fused lazy-crop + PARSEQ program over the live
+    bucket (detection emits crop rects, not crops; see api._crop_recognize_fn).
 
     `batch` and every recognition bucket must be divisible by the dp size
     (the engine's run_pages pads to guarantee this when a mesh is attached).
+    Prefer `OcrEngine(..., mesh=mesh)`, which applies these shardings on the
+    hot path itself; this helper exposes the same programs for direct use.
     """
-    rep = NamedSharding(mesh, P())
-    dp = NamedSharding(mesh, P("dp"))
+    if engine.mesh is not mesh:
+        raise ValueError(
+            "construct the engine with mesh=mesh — the engine's stage "
+            "programs carry their dp shardings themselves"
+        )
+    detect = engine._detect_fn(batch, h, w, channels)
 
-    base_detect = engine._detect_fn(batch, h, w)
-    detect = jax.jit(base_detect, in_shardings=(rep, dp))
-
-    def recognize_for(n: int):
-        base = engine._recognize_fn(n)
-        return jax.jit(base, in_shardings=(rep, dp))
+    def recognize_for(bucket: int):
+        return engine._crop_recognize_fn(
+            batch, engine.config.max_boxes, bucket, h, w, channels)
 
     return detect, recognize_for
