@@ -22,9 +22,7 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
-import optax  # noqa: E402
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 FIXDIR = os.path.join(HERE, "fixtures")
@@ -32,11 +30,9 @@ WEIGHTS_DIR = os.path.join(FIXDIR, "golden_weights")
 
 from tuatara_tpu.api import OcrEngine  # noqa: E402
 from tuatara_tpu.config import CraftConfig, OcrConfig, ParseqConfig  # noqa: E402
-from tuatara_tpu.models.craft import init_craft_params  # noqa: E402
 from tuatara_tpu.tokenizer import Tokenizer  # noqa: E402
-from tuatara_tpu.train.losses import craft_loss  # noqa: E402
-from tuatara_tpu.train.run import fit_recognizer  # noqa: E402
-from tuatara_tpu.utils.data import detection_batch, word_batch  # noqa: E402
+from tuatara_tpu.train.run import fit_detector, fit_recognizer  # noqa: E402
+from tuatara_tpu.utils.data import word_batch  # noqa: E402
 from tuatara_tpu.utils.image import load_image  # noqa: E402
 from tuatara_tpu.utils.weights import save_weights_dir  # noqa: E402
 
@@ -55,43 +51,11 @@ IMAGES = [
 ]
 
 
-def train_tiny_craft(steps: int = 400, seed: int = 0):
-    params = init_craft_params(jax.random.PRNGKey(seed), TINY_CRAFT)
-    tx = optax.adam(2e-3)
-    opt = tx.init(params)
-    rng = np.random.default_rng(seed)
-
-    @jax.jit
-    def step(params, opt, pages, heat):
-        def loss_fn(p):
-            loss, metrics = craft_loss(p, pages, heat, cfg=TINY_CRAFT, train_bn=True)
-            return loss, metrics
-
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt = tx.update(grads, opt, params)
-        params = optax.apply_updates(params, updates)
-        # Thread updated BN buffers (mean/var are not trained weights).
-        bn = metrics["craft_bn_params"]
-
-        def pick(path, a, b):
-            name = getattr(path[-1], "key", None)
-            return b if name in ("mean", "var") else a
-
-        params = jax.tree_util.tree_map_with_path(pick, params, bn)
-        return params, opt, loss
-
-    for i in range(steps):
-        d = detection_batch(8, rng, size=96, words_per_page=4)
-        params, opt, loss = step(params, opt, jnp.asarray(d["pages"]),
-                                 jnp.asarray(d["heat"]))
-        if i % 100 == 0 or i == steps - 1:
-            print(f"craft step {i}: loss {float(loss):.4f}")
-    return jax.device_get(params)
-
-
 def main():
     os.makedirs(WEIGHTS_DIR, exist_ok=True)
-    craft_p = train_tiny_craft()
+    craft_p, craft_losses = fit_detector(steps=400, cfg=TINY_CRAFT, seed=0)
+    craft_p = jax.device_get(craft_p)
+    print(f"craft loss {craft_losses[0]:.3f} -> {craft_losses[-1]:.3f}")
 
     tok = Tokenizer()
     data = word_batch(8, tok, np.random.default_rng(1), max_length=7,

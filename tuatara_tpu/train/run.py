@@ -72,6 +72,65 @@ def fit_recognizer(
     return params, losses
 
 
+def fit_detector(
+    steps: int = 400,
+    batch_size: int = 8,
+    lr: float = 2e-3,
+    cfg=None,
+    page_size: int = 96,
+    words_per_page: int = 4,
+    seed: int = 0,
+    log_every: int = 100,
+) -> Tuple[dict, List[float]]:
+    """Train CRAFT on synthetic text-like pages; returns (params, losses).
+
+    Fresh synthetic batches each step (utils/data.detection_batch: dark word
+    bars + Gaussian region/affinity targets), OHEM loss, training-mode BN
+    with running-stat threading. This loop produced the committed golden
+    fixture detector (tests/gen_golden_fixtures.py), which localizes real
+    FUNSD words — the from-scratch detector-training proof."""
+    from tuatara_tpu.config import CraftConfig
+    from tuatara_tpu.models.craft import init_craft_params
+    from tuatara_tpu.train.losses import craft_loss
+    from tuatara_tpu.utils.data import detection_batch
+
+    cfg = cfg or CraftConfig()
+    params = init_craft_params(jax.random.PRNGKey(seed), cfg)
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+    rng = np.random.default_rng(seed)
+
+    @jax.jit
+    def step(params, opt_state, pages, heat):
+        def loss_fn(p):
+            return craft_loss(p, pages, heat, cfg=cfg, train_bn=True)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        # BN running stats are buffers, not trained weights: splice the
+        # train-forward's updated mean/var over the optimizer output.
+        bn = metrics["craft_bn_params"]
+
+        def pick(path, a, b):
+            name = getattr(path[-1], "key", None)
+            return b if name in ("mean", "var") else a
+
+        params = jax.tree_util.tree_map_with_path(pick, params, bn)
+        return params, opt_state, loss
+
+    losses = []
+    for i in range(steps):
+        d = detection_batch(batch_size, rng, size=page_size,
+                            words_per_page=words_per_page)
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(d["pages"]),
+                                       jnp.asarray(d["heat"]))
+        if i % log_every == 0 or i == steps - 1:
+            losses.append(float(loss))
+    return params, losses
+
+
 def evaluate_recognizer(params, data, cfg: ParseqConfig, tokenizer: Tokenizer):
     """Greedy-decode accuracy on a batch -> (exact-match rate, texts)."""
     logits = parseq_forward(params, jnp.asarray(data["crops"]), cfg,
