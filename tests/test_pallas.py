@@ -37,6 +37,35 @@ def test_cc_kernel_snake():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize("seed", [0, 2])
+def test_cc_aux_kernel_matches_xla_and_bruteforce(seed):
+    """The aux min channel: kernel == XLA fallback == per-component brute
+    force (min aux-pixel index, BIG when the component has none)."""
+    from tuatara_tpu.ops.connected_components import label_components_aux
+    from tuatara_tpu.ops.pallas.cc import label_components_pallas_aux
+
+    rng = np.random.default_rng(seed)
+    m = rng.random((64, 128)) < 0.35
+    hot = (rng.random((64, 128)) < 0.08) & m
+    ref_lab, ref_aux, _ = label_components_aux(jnp.array(m), jnp.array(hot))
+    got_lab, got_aux, _ = label_components_pallas_aux(jnp.array(m), jnp.array(hot),
+                                                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_lab), np.asarray(ref_lab))
+    np.testing.assert_array_equal(np.asarray(got_aux), np.asarray(ref_aux))
+
+    # brute force
+    lab = np.asarray(ref_lab)
+    aux = np.asarray(ref_aux)
+    idx = np.arange(m.size).reshape(m.shape)
+    for root in np.unique(lab[lab >= 0]):
+        comp = lab == root
+        hot_idx = idx[comp & hot]
+        want = hot_idx.min() if hot_idx.size else 2**30
+        got_vals = np.unique(aux[comp])
+        assert got_vals.size == 1
+        assert (got_vals[0] == want) or (got_vals[0] >= 2**30 and want >= 2**30)
+
+
 def test_stats_kernel_matches_onehot(rng):
     h, w, K = 32, 128, 128
     m = jnp.array(rng.random((h, w)) < 0.3)
@@ -80,14 +109,17 @@ def test_extract_boxes_pallas_path_matches(rng):
     import functools
 
     orig_cc = cc_mod.label_components_pallas
+    orig_cc_aux = cc_mod.label_components_pallas_aux
     orig_st = st_mod.component_stats
     cc_mod.label_components_pallas = functools.partial(orig_cc, interpret=True)
+    cc_mod.label_components_pallas_aux = functools.partial(orig_cc_aux, interpret=True)
     st_mod.component_stats = functools.partial(orig_st, interpret=True)
     try:
         on = extract_boxes(jnp.array(text), jnp.array(link), mask,
                            OcrConfig(max_boxes=128, use_pallas="on"))
     finally:
         cc_mod.label_components_pallas = orig_cc
+        cc_mod.label_components_pallas_aux = orig_cc_aux
         st_mod.component_stats = orig_st
 
     np.testing.assert_array_equal(np.asarray(off["valid"]), np.asarray(on["valid"]))

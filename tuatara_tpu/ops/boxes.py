@@ -57,6 +57,7 @@ from tuatara_tpu.config import OcrConfig
 from tuatara_tpu.ops.connected_components import (
     component_roots_filtered,
     label_components,
+    label_components_aux,
 )
 
 # Python float, not a jnp scalar (no device work at import time).
@@ -144,14 +145,28 @@ def extract_boxes(
         and K % 128 == 0
     )
 
+    # hot implies keep whenever text_threshold >= low_text (the reference
+    # defaults); then the peak-presence pre-filter can ride the CC labeler
+    # as a min-propagated aux channel instead of a scatter-max.
+    hot_subsumes = cfg.text_threshold >= cfg.low_text
+
     if use_pallas:
-        from tuatara_tpu.ops.pallas.cc import label_components_pallas
+        from tuatara_tpu.ops.pallas.cc import (
+            label_components_pallas,
+            label_components_pallas_aux,
+        )
         from tuatara_tpu.ops.pallas.stats import component_stats
 
-        labels, cc_iters = label_components_pallas(comb, cfg.cc_max_iters)
-        roots, ncomp = component_roots_filtered(
-            labels, K, cfg.min_component_area, hot2d, keep2d,
-            hot_implies_keep=cfg.text_threshold >= cfg.low_text)
+        if hot_subsumes:
+            labels, hot_min, cc_iters = label_components_pallas_aux(
+                comb, hot2d, cfg.cc_max_iters)
+            roots, ncomp = component_roots_filtered(
+                labels, K, cfg.min_component_area, hot_min=hot_min)
+        else:
+            labels, cc_iters = label_components_pallas(comb, cfg.cc_max_iters)
+            roots, ncomp = component_roots_filtered(
+                labels, K, cfg.min_component_area, hot2d, keep2d,
+                hot_implies_keep=False)
         row_cnt, col_cnt, rrow_cnt, rcol_cnt, peak = component_stats(
             labels, tn, keep2d, roots
         )
@@ -163,10 +178,16 @@ def extract_boxes(
         rl, rr = _extent(rcol_cnt > 0, W)
         member = None  # only needed for the rotated-mode moment pass below
     else:
-        labels, cc_iters = label_components(comb, cfg.cc_max_iters)
-        roots, ncomp = component_roots_filtered(
-            labels, K, cfg.min_component_area, hot2d, keep2d,
-            hot_implies_keep=cfg.text_threshold >= cfg.low_text)
+        if hot_subsumes:
+            labels, hot_min, cc_iters = label_components_aux(
+                comb, hot2d, cfg.cc_max_iters)
+            roots, ncomp = component_roots_filtered(
+                labels, K, cfg.min_component_area, hot_min=hot_min)
+        else:
+            labels, cc_iters = label_components(comb, cfg.cc_max_iters)
+            roots, ncomp = component_roots_filtered(
+                labels, K, cfg.min_component_area, hot2d, keep2d,
+                hot_implies_keep=False)
 
         member = labels[:, :, None] == roots[None, None, :]  # [H, W, K]
         row_any, col_any, area = _profiles(member.astype(jnp.int32))

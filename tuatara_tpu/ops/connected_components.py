@@ -21,7 +21,7 @@ propagate with *segmented min-scans*:
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -79,6 +79,39 @@ def label_components(
     return jnp.where(mask, label, -1), iters
 
 
+def label_components_aux(
+    mask: jnp.ndarray, aux: jnp.ndarray, max_iters: int = 64
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """label_components + a second min-propagated channel (XLA fallback of
+    ops/pallas/cc.label_components_pallas_aux).
+
+    Returns (labels, auxmin, sweeps): auxmin[y, x] = min linear index of the
+    aux pixels in (y, x)'s component, >= 2**30 if none. The fixpoint watches
+    both channels — aux flooding can lag label convergence by a sweep."""
+    h, w = mask.shape
+    idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    label0 = jnp.where(mask, idx, _BIG)
+    aux0 = jnp.where(mask & aux, idx, _BIG)
+
+    def one(v):
+        v = _seg_min_scan(v, mask, axis=1)
+        return _seg_min_scan(v, mask, axis=0)
+
+    def body(state):
+        lab, av, _, it = state
+        nl, na = one(lab), one(av)
+        return nl, na, jnp.any(nl != lab) | jnp.any(na != av), it + 1
+
+    def cond(state):
+        _, _, changed, it = state
+        return jnp.logical_and(changed, it < max_iters)
+
+    lab, av, _, iters = jax.lax.while_loop(
+        cond, body, (label0, aux0, jnp.bool_(True), jnp.int32(0))
+    )
+    return jnp.where(mask, lab, -1), av, iters
+
+
 def component_roots(labels: jnp.ndarray, max_components: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The raster-first `max_components` component root indices.
 
@@ -109,9 +142,10 @@ def component_roots_filtered(
     labels: jnp.ndarray,
     max_components: int,
     min_area: int,
-    hot: jnp.ndarray,
-    keep: jnp.ndarray,
+    hot: Optional[jnp.ndarray] = None,
+    keep: Optional[jnp.ndarray] = None,
     hot_implies_keep: bool = True,
+    hot_min: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Raster-first roots of components that PASS the reference filters.
 
@@ -140,21 +174,31 @@ def component_roots_filtered(
     n_raw = jnp.sum(is_root.astype(jnp.int32))
 
     tgt = jnp.where(fg, flat, n)  # background -> overflow row
-    # Two cheap [n]-scatters (a single scatter with a trailing stats dim is
-    # ~6x slower on TPU): an add for area, and a max for presence.
+    # Area needs a true count: one cheap [n]-scatter-add (a single scatter
+    # with a trailing stats dim is ~6x slower on TPU).
     area = jnp.zeros((n + 1,), jnp.int32).at[tgt].add(1)[:n]
-    hot_f = hot.reshape(-1) & fg
-    keep_f = keep.reshape(-1) & fg
-    if hot_implies_keep:
+    if hot_min is not None:
+        # Presence came min-propagated alongside CC labeling (the aux channel
+        # of label_components_aux / the Pallas kernel): hot_min < BIG at any
+        # member pixel — in particular at the root — iff the component
+        # contains a hot pixel. Requires hot_implies_keep (see below);
+        # replaces a ~1.7 ms/page scatter-max with ~0.1 ms of extra VMEM
+        # sweeps.
+        present = hot_min.reshape(-1) < _BIG
+    elif hot_implies_keep:
         # hot (tn >= text_threshold) implies keep (non-link-only) whenever
         # text_threshold >= low_text — true for the reference defaults and
         # any sane config — so presence packs into ONE 0/1/2 max field:
         # max == 2 <=> some hot pixel (which also implies a keep pixel);
         # the keep filter is then subsumed.
+        hot_f = hot.reshape(-1) & fg
+        keep_f = keep.reshape(-1) & fg
         pres = hot_f.astype(jnp.int32) + keep_f.astype(jnp.int32)
         bits = jnp.zeros((n + 1,), jnp.int32).at[tgt].max(pres)[:n]
         present = bits == 2
     else:
+        hot_f = hot.reshape(-1) & fg
+        keep_f = keep.reshape(-1) & fg
         hotp = jnp.zeros((n + 1,), jnp.int32).at[tgt].max(hot_f.astype(jnp.int32))[:n]
         keepp = jnp.zeros((n + 1,), jnp.int32).at[tgt].max(keep_f.astype(jnp.int32))[:n]
         present = (hotp > 0) & (keepp > 0)

@@ -106,3 +106,91 @@ def label_components_pallas(
         interpret=interpret,
     )(mask.astype(jnp.int32))
     return labels, iters[0, 0]
+
+
+def _cc_aux_kernel(mask_ref, aux_ref, labels_ref, auxmin_ref, iters_ref,
+                   *, h: int, w: int, max_iters: int):
+    """CC labeling + a second min-propagated channel in one fixpoint.
+
+    The aux channel is seeded with the pixel index where `aux` is set (BIG
+    elsewhere) and min-flooded over the SAME component connectivity, so after
+    convergence every pixel of a component holds the min index of the
+    component's aux pixels — `auxmin < BIG` is a per-component "contains an
+    aux pixel" test read at any member pixel (ops/boxes.py uses it as the
+    peak-text presence pre-filter, replacing an expensive HBM scatter-max).
+    The change test watches BOTH channels: aux flooding can need a sweep or
+    two more than labels (its source pixel may sit farther from the run
+    structure than the root)."""
+    fg = mask_ref[...] != 0
+    hot = aux_ref[...] != 0
+    idx = (
+        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+        + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    )
+    labels0 = jnp.where(fg, idx, _BIG)
+    aux0 = jnp.where(fg & hot, idx, _BIG)
+
+    def sweep(v):
+        a = _doubling_min(v, fg, axis=1, size=w, reverse=False)
+        b = _doubling_min(v, fg, axis=1, size=w, reverse=True)
+        v = jnp.where(fg, jnp.minimum(a, b), _BIG)
+        a = _doubling_min(v, fg, axis=0, size=h, reverse=False)
+        b = _doubling_min(v, fg, axis=0, size=h, reverse=True)
+        return jnp.where(fg, jnp.minimum(a, b), _BIG)
+
+    def cond(state):
+        _, _, changed, it = state
+        return jnp.logical_and(changed, it < max_iters)
+
+    def body(state):
+        lab, av, _, it = state
+        new_lab = sweep(lab)
+        new_av = sweep(av)
+        changed = jnp.any(new_lab != lab) | jnp.any(new_av != av)
+        return new_lab, new_av, changed, it + 1
+
+    lab, av, _, iters = jax.lax.while_loop(
+        cond, body, (labels0, aux0, jnp.bool_(True), jnp.int32(0))
+    )
+    labels_ref[...] = jnp.where(fg, lab, -1)
+    auxmin_ref[...] = av
+    iters_ref[0, 0] = iters
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "interpret"))
+def label_components_pallas_aux(
+    mask: jnp.ndarray,
+    aux: jnp.ndarray,
+    max_iters: int = 64,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """label_components_pallas + per-component aux-presence min channel.
+
+    Returns (labels, auxmin, iters): auxmin[y, x] is the min linear index of
+    the aux pixels in (y, x)'s component, or >= 2**30 when the component has
+    none (background is always >= 2**30)."""
+    h, w = mask.shape
+    # Two propagated channels double the fixpoint's live temporaries; the
+    # default 16 MiB scoped-vmem budget OOMs at 512x384 (needs ~24 MiB) —
+    # well within the part's physical VMEM, so raise the soft limit.
+    labels, auxmin, iters = pl.pallas_call(
+        functools.partial(_cc_aux_kernel, h=h, w=w, max_iters=max_iters),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(48 * 1024 * 1024, 32 * h * w)),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((h, w), jnp.int32),
+            jax.ShapeDtypeStruct((h, w), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(mask.astype(jnp.int32), aux.astype(jnp.int32))
+    return labels, auxmin, iters[0, 0]
