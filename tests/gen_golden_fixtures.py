@@ -64,7 +64,8 @@ def main():
                                       data=data, lr=3e-3, seed=0, k_perms=6,
                                       log_every=100)
     print(f"parseq loss {losses[0]:.3f} -> {losses[-1]:.3f}")
-    save_weights_dir(WEIGHTS_DIR, craft_p, jax.device_get(parseq_p))
+    save_weights_dir(WEIGHTS_DIR, craft_p, jax.device_get(parseq_p),
+                     craft_config=TINY_CRAFT, parseq_config=TINY_PARSEQ)
 
     engine = OcrEngine(OCR, TINY_CRAFT, TINY_PARSEQ, weights_dir=WEIGHTS_DIR)
     fixture = {"config": {"canvas_size": OCR.canvas_size,

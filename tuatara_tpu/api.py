@@ -52,7 +52,7 @@ class OcrEngine:
     def __init__(
         self,
         config: OcrConfig = DEFAULT_CONFIG,
-        craft_config: CraftConfig = CraftConfig(),
+        craft_config: Optional[CraftConfig] = None,
         parseq_config: Optional[ParseqConfig] = None,
         weights_dir: Optional[str] = None,
         seed: int = 0,
@@ -80,15 +80,23 @@ class OcrEngine:
                 )
         self.mesh = mesh
         self.config = config
-        self.craft_config = craft_config
-        self.parseq_config = parseq_config or ParseqConfig(
+        # Model architecture resolution: explicit arg > the config stored
+        # next to the weights (save_weights_dir / the converter write it) >
+        # reference defaults. Without this, loading weights of a non-default
+        # architecture would build a mismatched forward and fail deep inside
+        # the model.
+        stored_craft = stored_parseq = None
+        if weights_dir:
+            from tuatara_tpu.utils import weights as W
+
+            stored_craft, stored_parseq = W.load_configs(weights_dir)
+        self.craft_config = craft_config or stored_craft or CraftConfig()
+        self.parseq_config = parseq_config or stored_parseq or ParseqConfig(
             max_label_length=config.max_label_length
         )
         self.tokenizer = Tokenizer(reference_charset=config.reference_charset)
 
         if weights_dir:
-            from tuatara_tpu.utils import weights as W
-
             craft_p, parseq_p = W.load_weights_dir(weights_dir)
             self.craft_params = jax.device_put(craft_p)
             self.parseq_params = jax.device_put(parseq_p)

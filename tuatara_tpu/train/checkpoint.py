@@ -18,24 +18,23 @@ import jax.numpy as jnp
 import numpy as np
 
 from tuatara_tpu.train.trainer import TrainState
-from tuatara_tpu.utils.weights import (
-    CRAFT_FILE,
-    PARSEQ_FILE,
-    flatten_tree,
-    load_params,
-    save_params,
-    unflatten_tree,
-)
+from tuatara_tpu.utils.weights import CRAFT_FILE, PARSEQ_FILE, load_params
 
 OPT_FILE = "opt_state.npz"
 META_FILE = "meta.npz"
 
 
-def save_checkpoint(ckpt_dir: str, state: TrainState) -> None:
+def save_checkpoint(ckpt_dir: str, state: TrainState,
+                    craft_config=None, parseq_config=None) -> None:
+    """Persist a train state; pass the model configs so the checkpoint dir is
+    directly servable as an OcrEngine weights_dir (the engine reads the
+    stored architecture from config.json)."""
     os.makedirs(ckpt_dir, exist_ok=True)
     host = jax.device_get(state)
-    save_params(os.path.join(ckpt_dir, CRAFT_FILE), host.craft_params)
-    save_params(os.path.join(ckpt_dir, PARSEQ_FILE), host.parseq_params)
+    from tuatara_tpu.utils.weights import save_weights_dir
+
+    save_weights_dir(ckpt_dir, host.craft_params, host.parseq_params,
+                     craft_config=craft_config, parseq_config=parseq_config)
     # Optimizer state is an optax pytree (tuples/namedtuples/dicts); persist
     # leaves positionally against the treedef of a reference state.
     opt_leaves = jax.tree.leaves(host.opt_state)

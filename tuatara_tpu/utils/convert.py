@@ -200,4 +200,6 @@ def convert_torchscript_weights(
         out_weights_dir,
         convert_craft_state_dict(craft_sd, craft_cfg),
         convert_parseq_state_dict(parseq_sd, parseq_cfg),
+        craft_config=craft_cfg,
+        parseq_config=parseq_cfg,
     )

@@ -22,6 +22,7 @@ import numpy as np
 
 CRAFT_FILE = "craft.npz"
 PARSEQ_FILE = "parseq.npz"
+CONFIG_FILE = "config.json"
 
 
 def flatten_tree(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
@@ -74,10 +75,30 @@ def weights_available(weights_dir: str) -> bool:
     )
 
 
-def save_weights_dir(weights_dir: str, craft_params: Any, parseq_params: Any) -> None:
+def save_weights_dir(
+    weights_dir: str,
+    craft_params: Any,
+    parseq_params: Any,
+    craft_config: Any = None,
+    parseq_config: Any = None,
+) -> None:
+    """Persist model weights (+ their architecture configs when given, so a
+    loading engine can instantiate the matching forward structure without
+    the caller re-specifying it)."""
     os.makedirs(weights_dir, exist_ok=True)
     save_params(os.path.join(weights_dir, CRAFT_FILE), craft_params)
     save_params(os.path.join(weights_dir, PARSEQ_FILE), parseq_params)
+    if craft_config is not None or parseq_config is not None:
+        import dataclasses
+        import json
+
+        meta = {}
+        if craft_config is not None:
+            meta["craft"] = dataclasses.asdict(craft_config)
+        if parseq_config is not None:
+            meta["parseq"] = dataclasses.asdict(parseq_config)
+        with open(os.path.join(weights_dir, CONFIG_FILE), "w") as f:
+            json.dump(meta, f, indent=1)
 
 
 def load_weights_dir(weights_dir: str):
@@ -89,3 +110,26 @@ def load_weights_dir(weights_dir: str):
         load_params(os.path.join(weights_dir, CRAFT_FILE)),
         load_params(os.path.join(weights_dir, PARSEQ_FILE)),
     )
+
+
+def _listify(v):
+    return tuple(_listify(x) for x in v) if isinstance(v, list) else v
+
+
+def load_configs(weights_dir: str):
+    """(CraftConfig | None, ParseqConfig | None) stored next to the weights."""
+    import json
+
+    path = os.path.join(weights_dir, CONFIG_FILE)
+    if not os.path.isfile(path):
+        return None, None
+    from tuatara_tpu.config import CraftConfig, ParseqConfig
+
+    with open(path) as f:
+        meta = json.load(f)
+    craft = parseq = None
+    if "craft" in meta:
+        craft = CraftConfig(**{k: _listify(v) for k, v in meta["craft"].items()})
+    if "parseq" in meta:
+        parseq = ParseqConfig(**{k: _listify(v) for k, v in meta["parseq"].items()})
+    return craft, parseq
