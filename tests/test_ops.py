@@ -240,6 +240,32 @@ def test_masked_extraction_equals_oracle_on_cropped_content(seed):
     assert got == ref, f"\nours: {got}\nref:  {ref}"
 
 
+@pytest.mark.parametrize("min_area", [2, 5, 10])
+def test_windowed_area_filter_exact(min_area, rng):
+    """area_ok (windowed same-label count) == true per-component area test,
+    on random blobs AND adversarial thin snakes/L-shapes that maximize path
+    distance per pixel."""
+    from tuatara_tpu.ops.connected_components import area_ok, label_components
+
+    m = np.asarray(rng.random((48, 64)) < 0.3)
+    # adversarial: a 1-px snake of exactly min_area pixels, an L of
+    # min_area-1, and isolated singletons
+    m[40, 2:2 + min_area] = True
+    m[44, 2:2 + max(min_area - 2, 1)] = True
+    m[45, 2] = True  # L-corner
+    m[46, 60] = True
+    labels, _ = label_components(jnp.array(m))
+    lab = np.asarray(labels)
+    got = np.asarray(area_ok(labels, min_area))
+    for root in np.unique(lab[lab >= 0]):
+        comp = lab == root
+        want = comp.sum() >= min_area
+        vals = np.unique(got[comp & (lab == lab)])  # values at member pixels
+        # the filter is read at the ROOT pixel downstream; check there
+        ry, rx = np.unravel_index(root, m.shape)
+        assert bool(got[ry, rx]) == bool(want), (root, comp.sum(), min_area)
+
+
 def test_budget_not_exhausted_by_subthreshold_components():
     """Regression (found at production scale): sub-filter specks earlier in
     raster order must NOT consume box-budget slots — the filters run before

@@ -108,19 +108,21 @@ def test_extract_boxes_pallas_path_matches(rng):
     import tuatara_tpu.ops.pallas.stats as st_mod
     import functools
 
-    orig_cc = cc_mod.label_components_pallas
-    orig_cc_aux = cc_mod.label_components_pallas_aux
-    orig_st = st_mod.component_stats
-    cc_mod.label_components_pallas = functools.partial(orig_cc, interpret=True)
-    cc_mod.label_components_pallas_aux = functools.partial(orig_cc_aux, interpret=True)
-    st_mod.component_stats = functools.partial(orig_st, interpret=True)
+    patched = {
+        (cc_mod, "label_components_pallas"),
+        (cc_mod, "label_components_pallas_aux"),
+        (cc_mod, "area_ok_pallas"),
+        (st_mod, "component_stats"),
+    }
+    originals = {(m, n): getattr(m, n) for m, n in patched}
+    for (m, n), f in originals.items():
+        setattr(m, n, functools.partial(f, interpret=True))
     try:
         on = extract_boxes(jnp.array(text), jnp.array(link), mask,
                            OcrConfig(max_boxes=128, use_pallas="on"))
     finally:
-        cc_mod.label_components_pallas = orig_cc
-        cc_mod.label_components_pallas_aux = orig_cc_aux
-        st_mod.component_stats = orig_st
+        for (m, n), f in originals.items():
+            setattr(m, n, f)
 
     np.testing.assert_array_equal(np.asarray(off["valid"]), np.asarray(on["valid"]))
     np.testing.assert_array_equal(np.asarray(off["boxes"]), np.asarray(on["boxes"]))

@@ -150,8 +150,13 @@ def extract_boxes(
     # as a min-propagated aux channel instead of a scatter-max.
     hot_subsumes = cfg.text_threshold >= cfg.low_text
 
+    # The windowed-count area filter's cost grows with the window
+    # (2*min_area-1)^2; past ~16 the scatter-add histogram wins.
+    windowed_area = 1 <= cfg.min_component_area <= 16
+
     if use_pallas:
         from tuatara_tpu.ops.pallas.cc import (
+            area_ok_pallas,
             label_components_pallas,
             label_components_pallas_aux,
         )
@@ -160,8 +165,11 @@ def extract_boxes(
         if hot_subsumes:
             labels, hot_min, cc_iters = label_components_pallas_aux(
                 comb, hot2d, cfg.cc_max_iters)
+            area_map = (area_ok_pallas(labels, cfg.min_component_area)
+                        if windowed_area else None)
             roots, ncomp = component_roots_filtered(
-                labels, K, cfg.min_component_area, hot_min=hot_min)
+                labels, K, cfg.min_component_area, hot_min=hot_min,
+                area_ok_map=area_map)
         else:
             labels, cc_iters = label_components_pallas(comb, cfg.cc_max_iters)
             roots, ncomp = component_roots_filtered(
@@ -179,10 +187,15 @@ def extract_boxes(
         member = None  # only needed for the rotated-mode moment pass below
     else:
         if hot_subsumes:
+            from tuatara_tpu.ops.connected_components import area_ok
+
             labels, hot_min, cc_iters = label_components_aux(
                 comb, hot2d, cfg.cc_max_iters)
+            area_map = (area_ok(labels, cfg.min_component_area)
+                        if windowed_area else None)
             roots, ncomp = component_roots_filtered(
-                labels, K, cfg.min_component_area, hot_min=hot_min)
+                labels, K, cfg.min_component_area, hot_min=hot_min,
+                area_ok_map=area_map)
         else:
             labels, cc_iters = label_components(comb, cfg.cc_max_iters)
             roots, ncomp = component_roots_filtered(

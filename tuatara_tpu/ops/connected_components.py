@@ -112,6 +112,25 @@ def label_components_aux(
     return jnp.where(mask, lab, -1), av, iters
 
 
+def area_ok(labels: jnp.ndarray, min_area: int) -> jnp.ndarray:
+    """[H, W] bool: pixel's component has area >= min_area, scatter-free.
+
+    XLA fallback of ops/pallas/cc.area_ok_pallas — same windowed same-label
+    count (BFS ball property; see that kernel's docstring for the proof,
+    including why circular wrap can't flip the test)."""
+    h, w = labels.shape
+    fg = labels >= 0
+    count = fg.astype(jnp.int32)
+    r = min_area - 1
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            if dy == 0 and dx == 0:
+                continue
+            s = jnp.roll(labels, (dy, dx), axis=(0, 1))
+            count = count + ((s == labels) & fg).astype(jnp.int32)
+    return count >= min_area
+
+
 def component_roots(labels: jnp.ndarray, max_components: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The raster-first `max_components` component root indices.
 
@@ -146,6 +165,7 @@ def component_roots_filtered(
     keep: Optional[jnp.ndarray] = None,
     hot_implies_keep: bool = True,
     hot_min: Optional[jnp.ndarray] = None,
+    area_ok_map: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Raster-first roots of components that PASS the reference filters.
 
@@ -174,9 +194,14 @@ def component_roots_filtered(
     n_raw = jnp.sum(is_root.astype(jnp.int32))
 
     tgt = jnp.where(fg, flat, n)  # background -> overflow row
-    # Area needs a true count: one cheap [n]-scatter-add (a single scatter
-    # with a trailing stats dim is ~6x slower on TPU).
-    area = jnp.zeros((n + 1,), jnp.int32).at[tgt].add(1)[:n]
+    if area_ok_map is not None:
+        # Scatter-free windowed-count filter (area_ok / area_ok_pallas).
+        area_pass = area_ok_map.reshape(-1)
+    else:
+        # True count via one [n]-scatter-add (a single scatter with a
+        # trailing stats dim is ~6x slower on TPU).
+        area = jnp.zeros((n + 1,), jnp.int32).at[tgt].add(1)[:n]
+        area_pass = area >= min_area
     if hot_min is not None:
         # Presence came min-propagated alongside CC labeling (the aux channel
         # of label_components_aux / the Pallas kernel): hot_min < BIG at any
@@ -203,7 +228,7 @@ def component_roots_filtered(
         keepp = jnp.zeros((n + 1,), jnp.int32).at[tgt].max(keep_f.astype(jnp.int32))[:n]
         present = (hotp > 0) & (keepp > 0)
     # Root pixel i holds its own component's stats — no gather needed.
-    ok = is_root & (area >= min_area) & present
+    ok = is_root & area_pass & present
 
     scores = jnp.where(ok, -flat, -_BIG)
     k = min(max_components, n)

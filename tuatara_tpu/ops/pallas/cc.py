@@ -108,6 +108,54 @@ def label_components_pallas(
     return labels, iters[0, 0]
 
 
+def _area_ok_kernel(labels_ref, out_ref, *, h: int, w: int, min_area: int):
+    """Exact small-component filter without a scatter histogram.
+
+    BFS ball property: in a connected component with area >= m, the ball of
+    4-connected radius m-1 around ANY pixel holds >= m member pixels; with
+    area < m the whole component fits inside it. Chebyshev distance lower-
+    bounds nothing here — it UPPER-bounds path distance, so the
+    (2m-1)x(2m-1) window contains the ball. Counting same-label pixels in
+    that window therefore gives: count >= m  <=>  area >= m, exactly.
+    Circular rolls may pull in same-component pixels from across the image
+    edge; that only pushes count toward the true area, which cannot flip the
+    test. 4*(m-1)*m + 1 rolls of VMEM-resident labels replace a ~1.4 ms/page
+    HBM scatter-add."""
+    lab = labels_ref[...]
+    fg = (lab >= 0).astype(jnp.int32)
+    r = min_area - 1
+    count = fg  # the center pixel itself
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            if dy == 0 and dx == 0:
+                continue
+            s = lab
+            if dy:
+                s = pltpu.roll(s, dy % h, axis=0)
+            if dx:
+                s = pltpu.roll(s, dx % w, axis=1)
+            count = count + ((s == lab) & (lab >= 0)).astype(jnp.int32)
+    out_ref[...] = (count >= min_area).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("min_area", "interpret"))
+def area_ok_pallas(
+    labels: jnp.ndarray, min_area: int, interpret: bool = False
+) -> jnp.ndarray:
+    """[H, W] bool: pixel's component has area >= min_area (see kernel)."""
+    h, w = labels.shape
+    out = pl.pallas_call(
+        functools.partial(_area_ok_kernel, h=h, w=w, min_area=min_area),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(48 * 1024 * 1024, 32 * h * w)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
+        interpret=interpret,
+    )(labels)
+    return out != 0
+
+
 def _cc_aux_kernel(mask_ref, aux_ref, labels_ref, auxmin_ref, iters_ref,
                    *, h: int, w: int, max_iters: int):
     """CC labeling + a second min-propagated channel in one fixpoint.
