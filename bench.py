@@ -54,26 +54,33 @@ def main() -> int:
     # Best of 2 runs: the dev environment's host->TPU tunnel is shared, and a
     # single run can catch an unrelated transfer stall; max-of-N is the
     # standard interference-suppressed throughput measurement. ---
+    # depth=2 keeps two batches in flight so the dev tunnel's per-RPC
+    # latency (~30 ms dispatch + fetch, and H2D that serializes behind
+    # in-flight programs) hides under compute; prefetch=4 keeps the
+    # producer ahead through transfer stalls.
     for _ in range(WARMUP):
         engine.run_pages(pages)
     pages_per_sec = 0.0
     for _ in range(2):
         t0 = time.perf_counter()
-        all_results = engine.run_stream([pages] * ITERS)
+        all_results = engine.run_stream([pages] * ITERS, prefetch=4, depth=2)
         dt = time.perf_counter() - t0
         pages_per_sec = max(pages_per_sec, PAGES * ITERS / dt)
     boxes = sum(len(r) for batch in all_results for r in batch) // ITERS
 
     # --- compute-only pages/sec (device-resident input; what non-tunnel
-    # hardware with PCIe/DMA ingest would see end-to-end) ---
+    # hardware with PCIe/DMA ingest would see end-to-end). Same pipelined
+    # serving loop, H2D excluded. ---
     import jax
 
     pages_dev = jax.device_put(pages)
     engine.run_pages(pages_dev)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        engine.run_pages(pages_dev)
-    compute_pages_per_sec = PAGES * ITERS / (time.perf_counter() - t0)
+    compute_pages_per_sec = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        engine.run_stream([pages_dev] * ITERS, depth=2)
+        compute_pages_per_sec = max(
+            compute_pages_per_sec, PAGES * ITERS / (time.perf_counter() - t0))
 
     # --- recognizer ms/crop at a full 256-crop slab ---
     import jax.numpy as jnp

@@ -87,6 +87,26 @@ def test_stats_kernel_matches_onehot(rng):
     np.testing.assert_allclose(np.asarray(peak), want_peak, rtol=1e-6)
 
 
+def test_stats_nopeak_kernel_matches_onehot(rng):
+    from tuatara_tpu.ops.pallas.stats import component_stats_nopeak
+
+    h, w, K = 32, 128, 128
+    m = jnp.array(rng.random((h, w)) < 0.3)
+    labels, _ = label_components(m)
+    roots, _ = component_roots(labels, K)
+    keep = jnp.array(rng.random((h, w)) < 0.8)
+
+    row, col, rrow, rcol = component_stats_nopeak(labels, keep, roots,
+                                                  interpret=True)
+
+    member = np.asarray(labels)[:, :, None] == np.asarray(roots)[None, None, :]
+    np.testing.assert_array_equal(np.asarray(row), member.sum(1))
+    np.testing.assert_array_equal(np.asarray(col), member.sum(0))
+    red = member & np.asarray(keep)[:, :, None]
+    np.testing.assert_array_equal(np.asarray(rrow), red.sum(1))
+    np.testing.assert_array_equal(np.asarray(rcol), red.sum(0))
+
+
 @pytest.mark.slow
 def test_extract_boxes_pallas_path_matches(rng):
     """Full extract_boxes with kernels forced on (interpret via CPU) equals
@@ -113,6 +133,7 @@ def test_extract_boxes_pallas_path_matches(rng):
         (cc_mod, "label_components_pallas_aux"),
         (cc_mod, "area_ok_pallas"),
         (st_mod, "component_stats"),
+        (st_mod, "component_stats_nopeak"),
     }
     originals = {(m, n): getattr(m, n) for m, n in patched}
     for (m, n), f in originals.items():

@@ -151,14 +151,20 @@ class OcrEngine:
         dtype = jnp.dtype(cfg.compute_dtype)
 
         def one_page(params, image):
-            # Grayscale pages arrive as [H, W, 1] and broadcast to RGB here,
-            # on device, inside the program: H2D carries 3x fewer bytes and
-            # every downstream op sees the identical R=G=B image (bit-exact
-            # vs an RGB transfer; channel flips are no-ops on gray).
-            if image.shape[-1] == 1:
-                image = jnp.broadcast_to(image, image.shape[:2] + (3,))
+            # Grayscale pages arrive as [H, W, 1]: H2D carries 3x fewer
+            # bytes, the canvas is built single-channel (3x less pad/cast
+            # traffic), and the channel broadcast to RGB happens LAST so it
+            # fuses into the first conv's input. Results are bit-exact vs an
+            # RGB transfer: on an R=G=B image the BGR flip is the identity,
+            # so it is skipped outright (it cost ~6 ms/batch as a full-res
+            # fp32 reverse at serving shapes).
+            gray = image.shape[-1] == 1
             canvas, _, _ = detect_canvas(image, cfg)
-            craft_in = canvas[..., ::-1] if cfg.channel_mode == "python" else canvas
+            if gray:
+                canvas = jnp.broadcast_to(canvas, canvas.shape[:-1] + (3,))
+                craft_in = canvas
+            else:
+                craft_in = canvas[..., ::-1] if cfg.channel_mode == "python" else canvas
             scores, _ = craft_forward(params, craft_in, ccfg, compute_dtype=dtype)
             out = extract_boxes(scores[0, :, :, 0], scores[0, :, :, 1],
                                 content_mask, cfg)
@@ -220,11 +226,15 @@ class OcrEngine:
         )
 
         def one_page(params, image):
-            if image.shape[-1] == 1:
-                image = jnp.broadcast_to(image, image.shape[:2] + (3,))
-            x = jax.image.resize(image.astype(jnp.float32), (th, tw, 3), "bilinear")
+            # Gray pages: resample/pad single-channel, skip the (identity)
+            # BGR flip, broadcast to RGB last — see the untiled one_page.
+            gray = image.shape[-1] == 1
+            c = image.shape[-1]
+            x = jax.image.resize(image.astype(jnp.float32), (th, tw, c), "bilinear")
             x = jnp.pad(x, ((0, ph - th), (0, pw - tw), (0, 0))) / 255.0
-            if cfg.channel_mode == "python":
+            if gray:
+                x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
+            elif cfg.channel_mode == "python":
                 x = x[..., ::-1]
             tiles, coords = extract_tiles(x, tile, cfg.tile_overlap, cfg.ratio_net)
             scores, _ = craft_forward(params, tiles, ccfg,

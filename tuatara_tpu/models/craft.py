@@ -144,10 +144,14 @@ def _fold_batchnorms_jit(params: Params, eps: float) -> Params:
 
 
 def _upsample_to(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """Bilinear upsample with half-pixel (align_corners=False) semantics."""
-    return jax.image.resize(
-        x.astype(jnp.float32), (x.shape[0], h, w, x.shape[3]), method="bilinear"
-    )
+    """Bilinear upsample with half-pixel (align_corners=False) semantics.
+
+    Runs in the activation dtype: upcasting to fp32 here doubles the HBM
+    traffic of the decoder's largest tensors (the 2x upsample feeding
+    upconv4 moves ~200 MB/batch at serving shapes) for no accuracy the
+    bf16 trunk hasn't already forfeited — the 2x bilinear weights (0.25,
+    0.75) are exact in bf16."""
+    return jax.image.resize(x, (x.shape[0], h, w, x.shape[3]), method="bilinear")
 
 
 def craft_forward(
@@ -233,26 +237,33 @@ def _craft_apply(
     h = L.conv2d(params["fc"]["fc6"], h, dilation=6, compute_dtype=compute_dtype)
     h = L.conv2d(params["fc"]["fc7"], h, compute_dtype=compute_dtype)
 
-    def double_conv(block: str, y: jnp.ndarray) -> jnp.ndarray:
+    def double_conv(block: str, y: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
+        # conv1 is always 1x1 over concat(trunk, skip); splitting its weight
+        # along cin turns it into two matmuls summed — exactly equal math —
+        # so the concatenated tensor (the decoder's largest activations,
+        # ~2.3 GB/batch at serving shapes across the four levels) is never
+        # materialized in HBM.
         p = params["up"][block]
-        y = jax.nn.relu(bn("up", block, "bn1",
-                           L.conv2d(p["conv1"], y, compute_dtype=compute_dtype)))
+        w1 = p["conv1"]["w"]
+        ca = y.shape[-1]
+        pa = {"w": w1[:, :, :ca]}
+        if "b" in p["conv1"]:
+            pa["b"] = p["conv1"]["b"]
+        ya = L.conv2d(pa, y, compute_dtype=compute_dtype)
+        yb = L.conv2d({"w": w1[:, :, ca:]}, skip, compute_dtype=compute_dtype)
+        y = jax.nn.relu(bn("up", block, "bn1", ya + yb))
         y = jax.nn.relu(bn("up", block, "bn2",
                            L.conv2d(p["conv2"], y, compute_dtype=compute_dtype)))
         return y
 
     # Decoder.
-    y = jnp.concatenate([h, skips["f5"]], axis=-1)
-    y = double_conv("upconv1", y)
+    y = double_conv("upconv1", h, skips["f5"])
     y = _upsample_to(y, skips["f4"].shape[1], skips["f4"].shape[2])
-    y = jnp.concatenate([y, skips["f4"]], axis=-1)
-    y = double_conv("upconv2", y)
+    y = double_conv("upconv2", y, skips["f4"])
     y = _upsample_to(y, skips["f3"].shape[1], skips["f3"].shape[2])
-    y = jnp.concatenate([y, skips["f3"]], axis=-1)
-    y = double_conv("upconv3", y)
+    y = double_conv("upconv3", y, skips["f3"])
     y = _upsample_to(y, skips["f2"].shape[1], skips["f2"].shape[2])
-    y = jnp.concatenate([y, skips["f2"]], axis=-1)
-    feat = double_conv("upconv4", y)
+    feat = double_conv("upconv4", y, skips["f2"])
 
     hp = params["head"]
     y = jax.nn.relu(L.conv2d(hp["conv1"], feat, compute_dtype=compute_dtype))

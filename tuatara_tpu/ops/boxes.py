@@ -170,14 +170,23 @@ def extract_boxes(
             roots, ncomp = component_roots_filtered(
                 labels, K, cfg.min_component_area, hot_min=hot_min,
                 area_ok_map=area_map)
+            # Every selected root already passed the hot-presence pre-filter
+            # (== the reference's per-component minMaxLoc >= text_threshold
+            # test), so the peak stats channel is dead — use the slimmer
+            # kernel (peak was its most expensive reduction).
+            from tuatara_tpu.ops.pallas.stats import component_stats_nopeak
+
+            row_cnt, col_cnt, rrow_cnt, rcol_cnt = component_stats_nopeak(
+                labels, keep2d, roots)
+            peak = None
         else:
             labels, cc_iters = label_components_pallas(comb, cfg.cc_max_iters)
             roots, ncomp = component_roots_filtered(
                 labels, K, cfg.min_component_area, hot2d, keep2d,
                 hot_implies_keep=False)
-        row_cnt, col_cnt, rrow_cnt, rcol_cnt, peak = component_stats(
-            labels, tn, keep2d, roots
-        )
+            row_cnt, col_cnt, rrow_cnt, rcol_cnt, peak = component_stats(
+                labels, tn, keep2d, roots
+            )
         area = jnp.sum(row_cnt, axis=0)
         rcount = jnp.sum(rrow_cnt, axis=0)
         t, b = _extent(row_cnt > 0, H)
@@ -207,7 +216,9 @@ def extract_boxes(
         t, b = _extent(row_any, H)
         l, r = _extent(col_any, W)
 
-        peak = jnp.max(
+        # With the hot-presence aux channel, selected roots already passed
+        # the peak >= text_threshold test; skip the [H, W, K] select + max.
+        peak = None if hot_subsumes else jnp.max(
             jnp.where(member, tn[:, :, None], -_INF), axis=(0, 1)
         )
 
@@ -238,10 +249,11 @@ def extract_boxes(
 
     valid = (
         (area >= cfg.min_component_area)
-        & (peak >= cfg.text_threshold)
         & (rcount > 0)
         & (roots < jnp.int32(2**30))
     )
+    if peak is not None:
+        valid = valid & (peak >= cfg.text_threshold)
 
     boxes = jnp.stack(
         [x0.astype(jnp.float32), y0.astype(jnp.float32),

@@ -61,6 +61,41 @@ def _kernel(labels_ref, tn_ref, keep_ref, roots_ref,
         peak_ref[...] = jnp.maximum(peak_ref[...], peak_part)
 
 
+def _kernel_nopeak(labels_ref, keep_ref, roots_ref,
+                   row_ref, col_ref, rrow_ref, rcol_ref):
+    """Profile-only variant: when peak-text presence already rode the CC
+    labeler as a min-propagated aux channel (ops/boxes.py hot_subsumes),
+    every selected root is known to contain a >= text_threshold pixel, so
+    the per-component peak — the kernel's most expensive channel (a
+    [BH, W, BK] select + full max reduction) — is dead. The reduced-set
+    membership is one masked compare (labels with non-keep pixels redirected
+    to a sentinel) instead of a [BH, W, BK] multiply."""
+    i = pl.program_id(1)  # row tile (innermost)
+
+    lab = labels_ref[...]                      # [BH, W] int32
+    keep = keep_ref[...]                       # [BH, W] int32 (0/1)
+    roots = roots_ref[...]                     # [1, BK] int32
+    rts = roots[0][None, None, :]
+    mf = (lab[:, :, None] == rts).astype(jnp.float32)       # [BH, W, BK]
+    lab_keep = jnp.where(keep != 0, lab, -3)
+    rf = (lab_keep[:, :, None] == rts).astype(jnp.float32)  # [BH, W, BK]
+
+    row_ref[...] = jnp.sum(mf, axis=1)         # [BH, BK]
+    rrow_ref[...] = jnp.sum(rf, axis=1)
+    col_part = jnp.sum(mf, axis=0)             # [W, BK]
+    rcol_part = jnp.sum(rf, axis=0)
+
+    @pl.when(i == 0)
+    def _init():
+        col_ref[...] = col_part
+        rcol_ref[...] = rcol_part
+
+    @pl.when(i > 0)
+    def _acc():
+        col_ref[...] += col_part
+        rcol_ref[...] += rcol_part
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def component_stats(
     labels: jnp.ndarray,
@@ -109,3 +144,44 @@ def component_stats(
     )(labels, tn, keep.astype(jnp.int32), roots[None, :])
     row, col, rrow, rcol, peak = out
     return row, col, rrow, rcol, peak[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def component_stats_nopeak(
+    labels: jnp.ndarray,
+    keep: jnp.ndarray,
+    roots: jnp.ndarray,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """component_stats without the peak channel (see _kernel_nopeak).
+
+    Returns (row_cnt [H, K], col_cnt [W, K], rrow_cnt [H, K],
+    rcol_cnt [W, K]) — fp32 counts."""
+    H, W = labels.shape
+    K = roots.shape[0]
+    assert H % BH == 0 and K % BK == 0, (H, K)
+
+    grid = (K // BK, H // BH)
+    out = pl.pallas_call(
+        _kernel_nopeak,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BH, W), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BH, W), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BH, BK), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, BK), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BH, BK), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, BK), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, K), jnp.float32),
+            jax.ShapeDtypeStruct((W, K), jnp.float32),
+            jax.ShapeDtypeStruct((H, K), jnp.float32),
+            jax.ShapeDtypeStruct((W, K), jnp.float32),
+        ],
+        interpret=interpret,
+    )(labels, keep.astype(jnp.int32), roots[None, :])
+    return tuple(out)

@@ -66,21 +66,28 @@ def canvas_shape(h: int, w: int, cfg: OcrConfig) -> Tuple[int, int, int, int, fl
 def detect_canvas(
     image: jnp.ndarray, cfg: OcrConfig
 ) -> Tuple[jnp.ndarray, float, Tuple[int, int]]:
-    """uint8/float [H, W, 3] -> (fp32 canvas [1, CH, CW, 3] in [0,1], ratio,
+    """uint8/float [H, W, C] -> (fp32 canvas [1, CH, CW, C] in [0,1], ratio,
     (content_h, content_w)).
 
     content_h/w are the /32-padded extents the reference would have used as
     its canvas (tuatara.cpp:225-229); pixels beyond them are all-zero TPU
     padding and are masked out of box extraction.
+
+    The cast/scale to fp32 happens AFTER the pad: when no resample is needed
+    (ratio 1.0, the common full-page case) the pad runs on the uint8 input —
+    4x less HBM traffic than padding a pre-cast fp32 canvas — and the
+    cast + /255 fuse into the consumer. Identical values either way (the
+    padding is zeros in both dtypes).
     """
     h, w = image.shape[:2]
+    c = image.shape[2]
     canvas_h, canvas_w, ch, cw, ratio = canvas_shape(h, w, cfg)
     th, tw, _ = resize_geometry(h, w, cfg)
-    x = image.astype(jnp.float32)
+    x = image
     if (th, tw) != (h, w):  # ratio 1.0 -> identity resample, skip the gather
-        x = jax.image.resize(x, (th, tw, 3), method="bilinear")
+        x = jax.image.resize(x.astype(jnp.float32), (th, tw, c), method="bilinear")
     x = jnp.pad(x, ((0, canvas_h - th), (0, canvas_w - tw), (0, 0)))
-    return (x / 255.0)[None], ratio, (ch, cw)
+    return (x.astype(jnp.float32) / 255.0)[None], ratio, (ch, cw)
 
 
 def resize_bilinear_batch(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
