@@ -61,7 +61,7 @@ def main() -> int:
     for _ in range(WARMUP):
         engine.run_pages(pages)
     pages_per_sec = 0.0
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         all_results = engine.run_stream([pages] * ITERS, prefetch=4, depth=2)
         dt = time.perf_counter() - t0

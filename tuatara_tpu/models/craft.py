@@ -143,6 +143,61 @@ def _fold_batchnorms_jit(params: Params, eps: float) -> Params:
     return p
 
 
+def _pack4_conv_w(w: jnp.ndarray) -> jnp.ndarray:
+    """[3,3,C,O] conv weights -> width-packed [3,3,4C,4O].
+
+    A stride-1 3x3 conv on [B,H,W,C] is exactly a 3x3 conv on the pure
+    reshape [B,H,W/4,4C] ("4 consecutive columns' channels side by side")
+    with weights W'[KY,KX,(bj,c),(aj,o)] = W[KY,kx,c,o] where
+    kx = 4*KX - 3 + bj - aj (valid slots only; the rest are zero). The
+    packed conv keeps the MXU's 128-wide output lanes full where the
+    original 16/32-channel convs used 1/8-1/4 of them — ~2.5x faster on
+    the serving head despite computing 4x the (mostly-zero) FLOPs.
+    SAME padding in packed space pads a whole 4-column block; the extra
+    taps hit zero weight slots, so results are exact (verified equal to
+    the unpacked conv up to f32 accumulation order).
+
+    Built with gather + mask ONLY — an einsum against a 0/1 selector runs
+    on the MXU in reduced precision and corrupts the weights at the 1e-3
+    level (observed on TPU).
+    """
+    import numpy as np
+
+    C, O = w.shape[2], w.shape[3]
+    kxm = np.full((3, 4, 4), -1, np.int32)  # [KX, bj, aj]
+    for KX in range(3):
+        for bj in range(4):
+            for aj in range(4):
+                kx = 4 * KX - 3 + bj - aj
+                if 0 <= kx < 3:
+                    kxm[KX, bj, aj] = kx
+    valid = jnp.asarray(kxm >= 0)
+    kxc = jnp.asarray(np.clip(kxm, 0, 2))
+    wp = w[:, kxc]  # [KY, KX, bj, aj, C, O] — pure copy
+    wp = jnp.where(valid[None, :, :, :, None, None], wp, jnp.zeros((), w.dtype))
+    wp = wp.transpose(0, 1, 2, 4, 3, 5)  # [KY, KX, bj, C, aj, O]
+    return wp.reshape(3, 3, 4 * C, 4 * O)
+
+
+def _pack4_1x1_w(w: jnp.ndarray) -> jnp.ndarray:
+    """[1,1,C,O] -> block-diagonal packed [1,1,4C,4O] (selection only)."""
+    C, O = w.shape[2], w.shape[3]
+    blk = jnp.broadcast_to(w[0, 0][None, :, None, :], (4, C, 4, O))
+    eye = (jnp.arange(4)[:, None] == jnp.arange(4)[None, :])
+    wp = jnp.where(eye[:, None, :, None], blk, jnp.zeros((), w.dtype))
+    return wp.reshape(1, 1, 4 * C, 4 * O)
+
+
+def _pack4(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w // 4, 4 * c)
+
+
+def _unpack4(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, w4, c4 = x.shape
+    return x.reshape(b, h, w4 * 4, c4 // 4)
+
+
 def _upsample_to(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """Bilinear upsample with half-pixel (align_corners=False) semantics.
 
@@ -237,7 +292,7 @@ def _craft_apply(
     h = L.conv2d(params["fc"]["fc6"], h, dilation=6, compute_dtype=compute_dtype)
     h = L.conv2d(params["fc"]["fc7"], h, compute_dtype=compute_dtype)
 
-    def double_conv(block: str, y: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
+    def conv1_split(block: str, y: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
         # conv1 is always 1x1 over concat(trunk, skip); splitting its weight
         # along cin turns it into two matmuls summed — exactly equal math —
         # so the concatenated tensor (the decoder's largest activations,
@@ -251,7 +306,11 @@ def _craft_apply(
             pa["b"] = p["conv1"]["b"]
         ya = L.conv2d(pa, y, compute_dtype=compute_dtype)
         yb = L.conv2d({"w": w1[:, :, ca:]}, skip, compute_dtype=compute_dtype)
-        y = jax.nn.relu(bn("up", block, "bn1", ya + yb))
+        return jax.nn.relu(bn("up", block, "bn1", ya + yb))
+
+    def double_conv(block: str, y: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
+        y = conv1_split(block, y, skip)
+        p = params["up"][block]
         y = jax.nn.relu(bn("up", block, "bn2",
                            L.conv2d(p["conv2"], y, compute_dtype=compute_dtype)))
         return y
@@ -263,14 +322,44 @@ def _craft_apply(
     y = _upsample_to(y, skips["f3"].shape[1], skips["f3"].shape[2])
     y = double_conv("upconv3", y, skips["f3"])
     y = _upsample_to(y, skips["f2"].shape[1], skips["f2"].shape[2])
-    feat = double_conv("upconv4", y, skips["f2"])
 
     hp = params["head"]
-    y = jax.nn.relu(L.conv2d(hp["conv1"], feat, compute_dtype=compute_dtype))
-    y = jax.nn.relu(L.conv2d(hp["conv2"], y, compute_dtype=compute_dtype))
-    y = jax.nn.relu(L.conv2d(hp["conv3"], y, compute_dtype=compute_dtype))
-    y = jax.nn.relu(L.conv2d(hp["conv4"], y, compute_dtype=compute_dtype))
-    y = L.conv2d(hp["conv5"], y, compute_dtype=compute_dtype)
+    # Serving path (folded BNs, /4-divisible width): run upconv4's 3x3 and
+    # the whole head width-packed so the 16/32-channel convs fill the MXU
+    # (see _pack4_selector — exact math, ~2.5x on this tail). Training keeps
+    # the plain layout (BN needs per-channel stats in unpacked space).
+    packed = (
+        not train
+        and "bn2" not in params["up"]["upconv4"]  # folded-BN (serving) tree
+        and skips["f2"].shape[2] % 4 == 0
+        and skips["f2"].shape[2] // 4 >= 3
+    )
+    if packed:
+        z = conv1_split("upconv4", y, skips["f2"])
+        p4 = params["up"]["upconv4"]["conv2"]
+        zp = _pack4(z)
+
+        def pconv(pp, x, pack):
+            kp = {"w": pack(pp["w"])}
+            if "b" in pp:
+                kp["b"] = jnp.tile(pp["b"], 4)
+            return L.conv2d(kp, x, compute_dtype=compute_dtype)
+
+        featp = jax.nn.relu(pconv(p4, zp, _pack4_conv_w))
+        yp = jax.nn.relu(pconv(hp["conv1"], featp, _pack4_conv_w))
+        yp = jax.nn.relu(pconv(hp["conv2"], yp, _pack4_conv_w))
+        yp = jax.nn.relu(pconv(hp["conv3"], yp, _pack4_conv_w))
+        yp = jax.nn.relu(pconv(hp["conv4"], yp, _pack4_1x1_w))
+        yp = pconv(hp["conv5"], yp, _pack4_1x1_w)
+        feat = _unpack4(featp)
+        y = _unpack4(yp)
+    else:
+        feat = double_conv("upconv4", y, skips["f2"])
+        y = jax.nn.relu(L.conv2d(hp["conv1"], feat, compute_dtype=compute_dtype))
+        y = jax.nn.relu(L.conv2d(hp["conv2"], y, compute_dtype=compute_dtype))
+        y = jax.nn.relu(L.conv2d(hp["conv3"], y, compute_dtype=compute_dtype))
+        y = jax.nn.relu(L.conv2d(hp["conv4"], y, compute_dtype=compute_dtype))
+        y = L.conv2d(hp["conv5"], y, compute_dtype=compute_dtype)
 
     if not train:
         return y.astype(jnp.float32), feat.astype(jnp.float32), params
