@@ -96,6 +96,23 @@ def main() -> int:
     ms_per_crop = (time.perf_counter() - t0) / 3 / 256 * 1000
 
     extras = {}
+    # Opt-in int8 detector trunk (OcrConfig.quantized_serving): reported as
+    # an extra metric, not the headline — it is not bit-parity with the
+    # reference math (see config.py).
+    import dataclasses
+
+    from tuatara_tpu.config import DEFAULT_CONFIG as _DC
+    from tuatara_tpu.api import OcrEngine as _Engine
+
+    qeng = _Engine(dataclasses.replace(_DC, quantized_serving=True))
+    qeng.run_pages(pages_dev)
+    q_best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        qeng.run_stream([pages_dev] * 6, depth=2)
+        q_best = max(q_best, PAGES * 6 / (time.perf_counter() - t0))
+    extras["quantized_compute_pages_per_sec"] = round(q_best, 3)
+
     if os.environ.get("BENCH_FULL"):
         import dataclasses
 

@@ -135,3 +135,35 @@ def test_native_matches_jax_on_real_craft_heatmaps():
         np.asarray(sorted(map(tuple, nboxes.astype(int)))),
         np.asarray(sorted(map(tuple, jboxes.astype(int)))),
     )
+
+
+@pytest.mark.skipif(not os.path.isdir(GOLDEN_WEIGHTS), reason="no golden weights")
+@pytest.mark.slow
+def test_quantized_serving_agrees_with_bf16():
+    """int8-trunk serving (OcrConfig.quantized_serving) finds essentially the
+    same boxes as the bf16 path on a real page with the trained golden
+    weights — quantization noise may flip threshold-adjacent components but
+    must not change detection at large."""
+    import dataclasses
+
+    img = load_image("/root/reference/images/funsd_0001129658.png")
+    cfg = OcrConfig(max_label_length=7)
+    base = OcrEngine(cfg, weights_dir=GOLDEN_WEIGHTS).run(img)
+    quant = OcrEngine(
+        dataclasses.replace(cfg, quantized_serving=True),
+        weights_dir=GOLDEN_WEIGHTS,
+    ).run(img)
+
+    def centers(res):
+        return [((r["bbox"][0] + r["bbox"][2]) / 2,
+                 (r["bbox"][1] + r["bbox"][3]) / 2) for r in res]
+
+    a, b = centers(base), centers(quant)
+    matched = sum(
+        1 for (ax, ay) in a
+        if any(abs(ax - bx) <= 16 and abs(ay - by) <= 16 for (bx, by) in b)
+    )
+    # >= 80% of bf16 boxes must have a quantized box within 16 px. (The
+    # tiny golden detector is far more quantization-sensitive than a real
+    # CRAFT — its 8-channel trunk leaves many components threshold-adjacent.)
+    assert matched >= 0.8 * len(a), (len(a), len(b), matched)

@@ -138,3 +138,30 @@ def test_gelu_matches_torch(rng):
     y = jax.nn.gelu(jnp.array(x), approximate=False)
     yt = F.gelu(torch.tensor(x))
     np.testing.assert_allclose(np.asarray(y), yt.numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_quantized_conv_close_to_float(rng):
+    """int8 per-channel weight + dynamic per-tensor activation quantization
+    stays within the expected quantization error envelope of the f32 conv."""
+    from tuatara_tpu.models.layers import conv2d, conv2d_q, quantize_conv
+
+    x = jnp.array(rng.standard_normal((2, 16, 24, 32)).astype(np.float32))
+    p = {"w": jnp.array((rng.standard_normal((3, 3, 32, 16)) * 0.1).astype(np.float32)),
+         "b": jnp.array(rng.standard_normal(16).astype(np.float32))}
+    ref = np.asarray(conv2d(p, x, compute_dtype=jnp.float32))
+    got = np.asarray(conv2d_q(quantize_conv(p), x, out_dtype=jnp.float32))
+    # error scales with the per-output dot length (288) * step sizes; the
+    # practical envelope on random data is well under 2% of the output range.
+    scale = np.abs(ref).max()
+    assert np.abs(ref - got).max() < 0.02 * scale, (
+        np.abs(ref - got).max(), scale)
+
+
+def test_quantized_conv_zero_pad_exact(rng):
+    """Zero padding quantizes to exactly zero (no edge bias)."""
+    from tuatara_tpu.models.layers import conv2d_q, quantize_conv
+
+    p = quantize_conv({"w": jnp.ones((3, 3, 4, 2), jnp.float32)})
+    x = jnp.zeros((1, 4, 4, 4), jnp.float32)
+    y = np.asarray(conv2d_q(p, x, out_dtype=jnp.float32))
+    np.testing.assert_array_equal(y, 0.0)

@@ -114,6 +114,12 @@ class OcrEngine:
         self.craft_params = fold_batchnorms(
             self.craft_params, eps=self.craft_config.bn_eps
         )
+        if config.quantized_serving:
+            from tuatara_tpu.models.craft import quantize_craft_trunk
+
+            # Opt-in int8 trunk (~2x detector MXU time; NOT bit-parity —
+            # threshold-adjacent boxes can differ, see quantize_craft_trunk).
+            self.craft_params = quantize_craft_trunk(self.craft_params)
 
         self._detect_fns: Dict[Tuple[int, int, int, int], Any] = {}
         self._recognize_fns: Dict[int, Any] = {}

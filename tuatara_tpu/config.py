@@ -96,6 +96,12 @@ class OcrConfig:
     # post-processing always runs fp32.
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
+    # Opt-in int8 detector trunk (per-channel int8 weights + dynamic
+    # per-tensor int8 activations on the VGG/fc convs; v5e runs int8 convs
+    # at ~2x bf16). NOT bit-parity with the bf16 path: detection is
+    # threshold-robust but threshold-adjacent boxes can differ. The decoder,
+    # head, and recognizer stay bf16.
+    quantized_serving: bool = False
 
     # ---- Batching ----
     page_batch: int = 1            # pages per detect() call

@@ -198,6 +198,40 @@ def _unpack4(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, h, w4 * 4, c4 // 4)
 
 
+def quantize_craft_trunk(params: Params) -> Params:
+    """Serving-only int8 quantization of the VGG trunk + fc convs.
+
+    Requires a BN-folded tree (fold_batchnorms). conv1_1 stays bf16 — its
+    input is the /255 image whose 8-bit dynamic range a second int8
+    round-trip would halve, and at cin=3 the int8 conv path has no MXU
+    advantage anyway. The decoder/head stay bf16 too (already width-packed;
+    they feed the score thresholds directly, where quantization noise
+    matters most). ~2x on the trunk's MXU time (see layers.quantize_conv).
+    Opt-in via OcrConfig.quantized_serving — NOT bit-parity with the
+    reference math; detection is threshold-robust but boxes can differ on
+    threshold-adjacent components.
+    """
+    if "bn" in next(iter(params["vgg"].values())):
+        raise ValueError("quantize_craft_trunk requires BN-folded params "
+                         "(fold_batchnorms first)")
+    q: Params = {"vgg": {}, "fc": {}, "up": params["up"], "head": params["head"]}
+    for name, blk in params["vgg"].items():
+        if name == "conv1_1":
+            q["vgg"][name] = blk
+        else:
+            q["vgg"][name] = {"conv": L.quantize_conv(blk["conv"])}
+    q["fc"]["fc6"] = L.quantize_conv(params["fc"]["fc6"])
+    q["fc"]["fc7"] = L.quantize_conv(params["fc"]["fc7"])
+    return q
+
+
+def _conv_or_q(cp: Params, h: jnp.ndarray, compute_dtype,
+               dilation: int = 1) -> jnp.ndarray:
+    if "wq" in cp:
+        return L.conv2d_q(cp, h, dilation=dilation, out_dtype=compute_dtype)
+    return L.conv2d(cp, h, dilation=dilation, compute_dtype=compute_dtype)
+
+
 def _upsample_to(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """Bilinear upsample with half-pixel (align_corners=False) semantics.
 
@@ -282,15 +316,15 @@ def _craft_apply(
         if pool_before:
             h = L.max_pool(h, 2, 2)
         h = bn("vgg", name, "bn",
-               L.conv2d(params["vgg"][name]["conv"], h, compute_dtype=compute_dtype))
+               _conv_or_q(params["vgg"][name]["conv"], h, compute_dtype))
         if skip is not None:
             skips[skip] = h  # pre-ReLU BN output
         h = jax.nn.relu(h)
 
     # fc stage: stride-1 3x3 maxpool, dilated fc6, 1x1 fc7 (no BN/ReLU).
     h = L.max_pool(h, 3, 1, padding="SAME_LOWER")
-    h = L.conv2d(params["fc"]["fc6"], h, dilation=6, compute_dtype=compute_dtype)
-    h = L.conv2d(params["fc"]["fc7"], h, compute_dtype=compute_dtype)
+    h = _conv_or_q(params["fc"]["fc6"], h, compute_dtype, dilation=6)
+    h = _conv_or_q(params["fc"]["fc7"], h, compute_dtype)
 
     def conv1_split(block: str, y: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
         # conv1 is always 1x1 over concat(trunk, skip); splitting its weight
