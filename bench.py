@@ -90,10 +90,13 @@ def main() -> int:
     )
     rec = engine._recognize_fn(256)
     rec(engine.parseq_params, crops)[0].block_until_ready()
+    # Sustained throughput: queue the dispatches back-to-back and fence once,
+    # so the dev tunnel's ~30 ms per-call round-trip latency (hidden by the
+    # serving loop's pipelining in practice) isn't billed to every call.
     t0 = time.perf_counter()
-    for _ in range(3):
-        rec(engine.parseq_params, crops)[0].block_until_ready()
-    ms_per_crop = (time.perf_counter() - t0) / 3 / 256 * 1000
+    outs = [rec(engine.parseq_params, crops)[0] for _ in range(5)]
+    jax.block_until_ready(outs)
+    ms_per_crop = (time.perf_counter() - t0) / 5 / 256 * 1000
 
     extras = {}
     # Opt-in int8 detector trunk (OcrConfig.quantized_serving): reported as
