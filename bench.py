@@ -51,7 +51,7 @@ def main() -> int:
     engine = OcrEngine()
 
     # --- end-to-end pages/sec (pipelined serving loop: H2D overlaps compute).
-    # Best of 2 runs: the dev environment's host->TPU tunnel is shared, and a
+    # Best of 3 runs: the dev environment's host->TPU tunnel is shared, and a
     # single run can catch an unrelated transfer stall; max-of-N is the
     # standard interference-suppressed throughput measurement. ---
     # depth=2 keeps two batches in flight so the dev tunnel's per-RPC
@@ -104,10 +104,9 @@ def main() -> int:
     # reference math (see config.py).
     import dataclasses
 
-    from tuatara_tpu.config import DEFAULT_CONFIG as _DC
-    from tuatara_tpu.api import OcrEngine as _Engine
+    from tuatara_tpu.config import DEFAULT_CONFIG
 
-    qeng = _Engine(dataclasses.replace(_DC, quantized_serving=True))
+    qeng = OcrEngine(dataclasses.replace(DEFAULT_CONFIG, quantized_serving=True))
     qeng.run_pages(pages_dev)
     q_best = 0.0
     for _ in range(2):
@@ -117,9 +116,6 @@ def main() -> int:
     extras["quantized_compute_pages_per_sec"] = round(q_best, 3)
 
     if os.environ.get("BENCH_FULL"):
-        import dataclasses
-
-        from tuatara_tpu.config import DEFAULT_CONFIG
         from tuatara_tpu.api import OcrEngine as _Eng
 
         def time_single(path, cfg=None, runs=3):

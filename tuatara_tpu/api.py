@@ -233,11 +233,17 @@ class OcrEngine:
 
         def one_page(params, image):
             # Gray pages: resample/pad single-channel, skip the (identity)
-            # BGR flip, broadcast to RGB last — see the untiled one_page.
+            # BGR flip, broadcast to RGB last; identity resample skipped and
+            # the pad run on the input dtype — see the untiled one_page /
+            # detect_canvas.
             gray = image.shape[-1] == 1
             c = image.shape[-1]
-            x = jax.image.resize(image.astype(jnp.float32), (th, tw, c), "bilinear")
-            x = jnp.pad(x, ((0, ph - th), (0, pw - tw), (0, 0))) / 255.0
+            x = image
+            if (th, tw) != (h, w):
+                x = jax.image.resize(x.astype(jnp.float32), (th, tw, c),
+                                     "bilinear")
+            x = jnp.pad(x, ((0, ph - th), (0, pw - tw), (0, 0)))
+            x = x.astype(jnp.float32) / 255.0
             if gray:
                 x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
             elif cfg.channel_mode == "python":

@@ -322,6 +322,10 @@ def _craft_apply(
         h = jax.nn.relu(h)
 
     # fc stage: stride-1 3x3 maxpool, dilated fc6, 1x1 fc7 (no BN/ReLU).
+    # (An int8-chained trunk variant — activations kept int8 across
+    # relu/pool between quantized convs — traced IDENTICAL device time to
+    # this per-conv dynamic form on v5e: XLA already fuses the
+    # dequant/relu/requant chains, so the simpler form stands.)
     h = L.max_pool(h, 3, 1, padding="SAME_LOWER")
     h = _conv_or_q(params["fc"]["fc6"], h, compute_dtype, dilation=6)
     h = _conv_or_q(params["fc"]["fc7"], h, compute_dtype)
@@ -360,7 +364,7 @@ def _craft_apply(
     hp = params["head"]
     # Serving path (folded BNs, /4-divisible width): run upconv4's 3x3 and
     # the whole head width-packed so the 16/32-channel convs fill the MXU
-    # (see _pack4_selector — exact math, ~2.5x on this tail). Training keeps
+    # (see _pack4_conv_w — exact math, ~2.5x on this tail). Training keeps
     # the plain layout (BN needs per-channel stats in unpacked space).
     packed = (
         not train

@@ -115,6 +115,50 @@ def quantize_conv(params: Params) -> Params:
     return out
 
 
+def quantize_act(x: jnp.ndarray):
+    """Dynamic per-tensor symmetric int8 quantization of an activation.
+
+    Returns (xq int8, xs f32 scalar) with x ~= xq / xs. One fused abs-max
+    reduction; no calibration state. Zero maps to exactly 0, and for s > 0
+    the map is monotone — so relu and max_pool commute with it (an int8
+    max-pool of xq IS the quantization of the pooled tensor under the same
+    scale), letting quantized conv chains keep activations in int8 across
+    relu/pool instead of round-tripping bf16 through HBM.
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12)
+    xs = 127.0 / amax
+    xq = jnp.clip(jnp.round(xf * xs), -127, 127).astype(jnp.int8)
+    return xq, xs
+
+
+def conv2d_q_pre(
+    qp: Params,
+    xq: jnp.ndarray,
+    xs: jnp.ndarray,
+    stride: int = 1,
+    padding="SAME",
+    dilation: int = 1,
+    out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Quantized NHWC conv over a PRE-quantized activation (see
+    quantize_act): int8 x int8 -> int32, fp32 dequant + bias, `out_dtype`
+    output. Zero-padding is exact (0 represents 0.0)."""
+    y = jax.lax.conv_general_dilated(
+        xq,
+        qp["wq"],
+        window_strides=(stride, stride),
+        padding=padding,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (qp["sw"] / xs)
+    if "b" in qp:
+        y = y + qp["b"]
+    return y.astype(out_dtype)
+
+
 def conv2d_q(
     qp: Params,
     x: jnp.ndarray,
@@ -130,23 +174,9 @@ def conv2d_q(
     reduction; robust to any input distribution — no calibration state).
     Zero-padding is exact: x=0 quantizes to 0.
     """
-    xf = x.astype(jnp.float32)
-    amax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12)
-    xs = 127.0 / amax
-    xq = jnp.clip(jnp.round(xf * xs), -127, 127).astype(jnp.int8)
-    y = jax.lax.conv_general_dilated(
-        xq,
-        qp["wq"],
-        window_strides=(stride, stride),
-        padding=padding,
-        rhs_dilation=(dilation, dilation),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
-    )
-    y = y.astype(jnp.float32) * (qp["sw"] / xs)
-    if "b" in qp:
-        y = y + qp["b"]
-    return y.astype(out_dtype)
+    xq, xs = quantize_act(x)
+    return conv2d_q_pre(qp, xq, xs, stride=stride, padding=padding,
+                        dilation=dilation, out_dtype=out_dtype)
 
 
 def init_batchnorm(c: int) -> Params:
@@ -199,7 +229,9 @@ def max_pool(x: jnp.ndarray, window: int, stride: int, padding="VALID") -> jnp.n
             raise ValueError(padding)
     return jax.lax.reduce_window(
         x,
-        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jnp.asarray(
+            -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+            else jnp.iinfo(x.dtype).min, x.dtype),
         jax.lax.max,
         window_dimensions=(1, window, window, 1),
         window_strides=(1, stride, stride, 1),

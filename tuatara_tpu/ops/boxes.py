@@ -150,9 +150,19 @@ def extract_boxes(
     # as a min-propagated aux channel instead of a scatter-max.
     hot_subsumes = cfg.text_threshold >= cfg.low_text
 
-    # The windowed-count area filter's cost grows with the window
-    # (2*min_area-1)^2; past ~16 the scatter-add histogram wins.
-    windowed_area = 1 <= cfg.min_component_area <= 16
+    # The windowed-count area filter only pays off inside the Pallas kernel
+    # (labels stay VMEM-resident across the (2*min_area-1)^2-1 rolls; the
+    # XLA fallback would stream ~360 full-image passes through HBM where one
+    # scatter-add suffices), its cost grows with the window (past ~16 the
+    # scatter-add histogram wins even in VMEM), and the window must fit in
+    # the heatmap — when 2*min_area-1 exceeds a dimension the circular rolls
+    # alias (dy and dy±H coincide mod H), double-counting component pixels
+    # so undersized components could falsely pass and burn top-k slots.
+    windowed_area = (
+        use_pallas
+        and 1 <= cfg.min_component_area <= 16
+        and 2 * cfg.min_component_area - 1 <= min(H, W)
+    )
 
     if use_pallas:
         from tuatara_tpu.ops.pallas.cc import (
@@ -196,15 +206,14 @@ def extract_boxes(
         member = None  # only needed for the rotated-mode moment pass below
     else:
         if hot_subsumes:
-            from tuatara_tpu.ops.connected_components import area_ok
-
             labels, hot_min, cc_iters = label_components_aux(
                 comb, hot2d, cfg.cc_max_iters)
-            area_map = (area_ok(labels, cfg.min_component_area)
-                        if windowed_area else None)
+            # windowed_area is always False off-Pallas (see above): the
+            # area filter here is the one scatter-add histogram inside
+            # component_roots_filtered.
             roots, ncomp = component_roots_filtered(
                 labels, K, cfg.min_component_area, hot_min=hot_min,
-                area_ok_map=area_map)
+                area_ok_map=None)
         else:
             labels, cc_iters = label_components(comb, cfg.cc_max_iters)
             roots, ncomp = component_roots_filtered(

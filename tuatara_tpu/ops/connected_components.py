@@ -132,8 +132,11 @@ def area_ok(labels: jnp.ndarray, min_area: int) -> jnp.ndarray:
     """[H, W] bool: pixel's component has area >= min_area, scatter-free.
 
     XLA fallback of ops/pallas/cc.area_ok_pallas — same windowed same-label
-    count (BFS ball property; see that kernel's docstring for the proof,
-    including why circular wrap can't flip the test)."""
+    count (BFS ball property; see that kernel's docstring for the proof and
+    the 2*min_area-1 <= min(H, W) validity condition). NOTE: outside the
+    Pallas path this streams (2*min_area-1)^2-1 full-image passes through
+    HBM — the scatter-add histogram in component_roots_filtered is cheaper
+    there, so the hot path only uses this on TPU (ops/boxes.py)."""
     h, w = labels.shape
     fg = labels >= 0
     count = fg.astype(jnp.int32)

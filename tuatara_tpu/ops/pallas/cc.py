@@ -118,8 +118,12 @@ def _area_ok_kernel(labels_ref, out_ref, *, h: int, w: int, min_area: int):
     (2m-1)x(2m-1) window contains the ball. Counting same-label pixels in
     that window therefore gives: count >= m  <=>  area >= m, exactly.
     Circular rolls may pull in same-component pixels from across the image
-    edge; that only pushes count toward the true area, which cannot flip the
-    test. 4*(m-1)*m + 1 rolls of VMEM-resident labels replace a ~1.4 ms/page
+    edge; as long as 2m-1 <= min(H, W) each member pixel is counted at most
+    once (distinct offsets stay distinct mod the dimension), so wrap only
+    pushes count toward the true area and cannot flip the test. When the
+    window EXCEEDS a dimension, offsets alias and pixels double-count —
+    callers must not use this filter then (ops/boxes.py gates on it).
+    4*(m-1)*m + 1 rolls of VMEM-resident labels replace a ~1.4 ms/page
     HBM scatter-add."""
     lab = labels_ref[...]
     fg = (lab >= 0).astype(jnp.int32)
