@@ -181,3 +181,20 @@ def test_flatten_unflatten_identity():
     assert isinstance(back["list"], list)
     assert np.array_equal(back["list"][0], tree["list"][0])
     assert np.array_equal(back["list"][1]["c"], tree["list"][1]["c"])
+
+
+def test_run_stream_matches_run_pages(engine):
+    """The pipelined serving loop (speculative recognition, depth-2
+    in-flight batches) returns element-wise identical results to the
+    synchronous path — PARITY.md #18's contract."""
+    rng = np.random.default_rng(7)
+    batches = [
+        np.stack([_page(rng), _page(rng)]),
+        np.stack([_page(rng), _page(rng)]),
+        np.stack([_page(rng), _page(rng)]),
+    ]
+    want = [engine.run_pages(b) for b in batches]
+    # Reset speculation state so the stream starts cold like a fresh caller.
+    engine._spec_bucket = engine._spec_batch = None
+    got = engine.run_stream(list(batches), prefetch=2, depth=2)
+    assert got == want

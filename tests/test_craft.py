@@ -86,3 +86,27 @@ def test_param_count_plausible(craft_params):
     # Public CRAFT has ~20.8M params; backbone+decoder+head here must land
     # in the same ballpark (BN running stats included in the pytree).
     assert 19e6 < n < 23e6, n
+
+
+def test_pack4_conv_exact_property():
+    """Width-packed conv == plain conv for random channel/width combos
+    (pure-selection weight expansion; fp32 HIGHEST precision)."""
+    from tuatara_tpu.models.craft import _pack4, _pack4_conv_w, _pack4_1x1_w, _unpack4
+    from tuatara_tpu.models import layers as L
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    for (C, O, H, W) in [(1, 5, 6, 8), (8, 8, 4, 16), (16, 2, 5, 12), (3, 7, 4, 20)]:
+        x = jnp.asarray(rng.standard_normal((2, H, W, C)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, C, O)) * 0.2, jnp.float32)
+        b = jnp.asarray(rng.standard_normal(O), jnp.float32)
+        ref = np.asarray(L.conv2d({"w": w, "b": b}, x, compute_dtype=jnp.float32))
+        got = np.asarray(_unpack4(L.conv2d(
+            {"w": _pack4_conv_w(w), "b": jnp.tile(b, 4)},
+            _pack4(x), compute_dtype=jnp.float32)))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+        w1 = jnp.asarray(rng.standard_normal((1, 1, C, O)), jnp.float32)
+        ref1 = np.asarray(L.conv2d({"w": w1}, x, compute_dtype=jnp.float32))
+        got1 = np.asarray(_unpack4(L.conv2d(
+            {"w": _pack4_1x1_w(w1)}, _pack4(x), compute_dtype=jnp.float32)))
+        np.testing.assert_allclose(got1, ref1, rtol=1e-5, atol=1e-5)
