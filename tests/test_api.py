@@ -198,3 +198,12 @@ def test_run_stream_matches_run_pages(engine):
     engine._spec_bucket = engine._spec_batch = None
     got = engine.run_stream(list(batches), prefetch=2, depth=2)
     assert got == want
+
+
+def test_float_image_rejected(engine):
+    """Float pixels would be /255'd twice inside the program -> loud
+    TypeError instead (uint8 is the reference contract)."""
+    with pytest.raises(TypeError, match="uint8"):
+        engine.run(np.zeros((32, 32, 3), np.float32))
+    with pytest.raises(TypeError, match="uint8"):
+        engine.run_pages(np.zeros((1, 32, 32), np.float64))

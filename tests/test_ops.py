@@ -348,3 +348,55 @@ def test_crop_rects_clamped():
     boxes = jnp.array([[-5.0, -3.0, 200.0, 300.0]])
     r = np.asarray(crop_rects(boxes, 96, 120))[0]
     assert r[0] == 0 and r[1] == 0 and r[2] == 120 and r[3] == 96
+
+
+def test_extract_boxes_degenerate_masks():
+    """Adversarial inputs: empty page, all-foreground page, single hot
+    pixel — fixed shapes must hold and counts must be sane (no NaNs, no
+    crashes, budget respected)."""
+    from tuatara_tpu.ops.boxes import extract_boxes
+
+    H, W = 64, 128
+    mask = jnp.ones((H, W), bool)
+    cfg = OcrConfig(max_boxes=32, use_pallas="off")
+
+    # Empty: constant-zero maps normalize to all-zeros -> no boxes.
+    out = extract_boxes(jnp.zeros((H, W)), jnp.zeros((H, W)), mask, cfg)
+    assert int(out["count"]) == 0
+    assert not bool(out["valid"].any())
+
+    # All-foreground: one page-sized component, peak == 1 >= threshold.
+    ones_t = jnp.ones((H, W)) * 0.9
+    ones_t = ones_t.at[0, 0].set(0.0)  # give normalization a range
+    out = extract_boxes(ones_t, jnp.zeros((H, W)), mask, cfg)
+    assert int(out["count"]) == 1
+    x0, y0, x1, y1 = np.asarray(out["boxes"][0])
+    assert x1 - x0 >= W - 2 and y1 - y0 >= H - 2
+    assert np.isfinite(np.asarray(out["boxes"])).all()
+
+    # One hot pixel: below min_component_area -> filtered out.
+    spot = jnp.zeros((H, W)).at[10, 10].set(1.0)
+    out = extract_boxes(spot, jnp.zeros((H, W)), mask, cfg)
+    assert int(out["count"]) == 0
+
+
+def test_extract_boxes_budget_overflow_many_components(rng):
+    """More passing components than max_boxes: exactly max_boxes emitted,
+    raster-first, all finite."""
+    from tuatara_tpu.ops.boxes import extract_boxes
+
+    H, W = 64, 128
+    t = np.zeros((H, W), np.float32)
+    # 8x16 grid of 3x3 blobs = 128 components, budget 16.
+    for i in range(8):
+        for j in range(16):
+            y, x = 2 + 8 * i, 2 + 8 * j
+            t[y:y + 3, x:x + 3] = 1.0
+    cfg = OcrConfig(max_boxes=16, min_component_area=4, use_pallas="off")
+    out = extract_boxes(jnp.asarray(t), jnp.zeros((H, W)), jnp.ones((H, W), bool), cfg)
+    assert int(out["count"]) == 16
+    assert bool(out["valid"][:16].all())
+    boxes = np.asarray(out["boxes"])[:16]
+    assert np.isfinite(boxes).all()
+    # raster-first: first box is the top-left blob
+    assert boxes[0][1] <= 8

@@ -455,6 +455,20 @@ class OcrEngine:
         b, h, w, c = images.shape
         return images, b, h, w, c
 
+    @staticmethod
+    def _check_dtype(images) -> None:
+        """Pixels must be uint8 0-255 (the reference contract, CV_8UC3 via
+        bindings/python.cpp:12-28). A float image in [0, 1] would silently
+        be divided by 255 AGAIN inside the detect program and produce
+        near-blank heatmaps — fail loudly instead."""
+        dt = getattr(images, "dtype", None)
+        if dt is not None and np.dtype(dt) != np.uint8:
+            raise TypeError(
+                f"image dtype must be uint8 (0-255), got {dt}; scale and "
+                f"cast float images with (img * 255).clip(0, 255)"
+                f".astype('uint8') if they are in [0, 1]"
+            )
+
     def run_pages(self, images: np.ndarray) -> List[List[Dict]]:
         """OCR a batch of same-sized pages: [B, H, W, 3] uint8 RGB, or
         grayscale [B, H, W] / [B, H, W, 1] (results bit-identical to the
@@ -480,6 +494,7 @@ class OcrEngine:
         with batch i+1's compute.
         """
         images, b, h, w, c = self._batch_geometry(images)
+        self._check_dtype(images)
         if images.size == 0:
             raise ValueError("empty image")
 
