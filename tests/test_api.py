@@ -207,3 +207,19 @@ def test_float_image_rejected(engine):
         engine.run(np.zeros((32, 32, 3), np.float32))
     with pytest.raises(TypeError, match="uint8"):
         engine.run_pages(np.zeros((1, 32, 32), np.float64))
+
+
+def test_run_mixed_shapes(engine):
+    """Mixed-size pages: grouped by shape, results in original order,
+    identical to per-page run()."""
+    rng = np.random.default_rng(11)
+    pages = [
+        _page(rng, 96, 120),
+        _page(rng, 64, 80),
+        _page(rng, 96, 120),
+        _page(rng, 64, 80),
+        _page(rng, 96, 120),
+    ]
+    got = engine.run_mixed(pages, max_batch=2)
+    want = [engine.run(p) for p in pages]
+    assert got == want

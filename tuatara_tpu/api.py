@@ -610,6 +610,33 @@ class OcrEngine:
         logger.info("ocr timings %s", self.last_timings)
         return results
 
+    def run_mixed(self, images, max_batch: int = 16) -> List[List[Dict]]:
+        """OCR a list of pages of ARBITRARY (mixed) sizes.
+
+        Real document workloads mix page sizes; `run_pages` requires one
+        shape per batch (one compiled program per shape). This entry groups
+        the pages by exact shape, runs each group as proper batches of up to
+        `max_batch` (so same-sized pages still amortize dispatches and share
+        programs), and returns per-page results in the ORIGINAL order.
+        Pages whose shape appears once simply run singly — identical results
+        to calling `run` per page, with batching where it's free.
+        """
+        order: Dict[Tuple, List[int]] = {}
+        parsed = []
+        for i, im in enumerate(images):
+            im = np.asarray(im) if not isinstance(im, jax.Array) else im
+            parsed.append(im)
+            order.setdefault(tuple(im.shape), []).append(i)
+        results: List[Optional[List[Dict]]] = [None] * len(parsed)
+        for idxs in order.values():
+            for start in range(0, len(idxs), max_batch):
+                chunk = idxs[start:start + max_batch]
+                batch = np.stack([parsed[i] for i in chunk]) if len(chunk) > 1 \
+                    else parsed[chunk[0]][None]
+                for i, res in zip(chunk, self.run_pages(batch)):
+                    results[i] = res
+        return results  # type: ignore[return-value]
+
     def run_lines(self, image: np.ndarray, **group_kwargs) -> List[Dict]:
         """OCR one image -> line-level hierarchy.
 
