@@ -223,3 +223,17 @@ def test_run_mixed_shapes(engine):
     got = engine.run_mixed(pages, max_batch=2)
     want = [engine.run(p) for p in pages]
     assert got == want
+
+
+def test_engine_stats_accumulate(engine):
+    """Cumulative serving counters track pages/batches/boxes and reset."""
+    rng = np.random.default_rng(13)
+    engine.reset_stats()
+    engine.run_pages(np.stack([_page(rng), _page(rng)]))
+    engine.run(_page(rng))
+    s = engine.stats
+    assert s["pages"] == 3 and s["batches"] == 2
+    assert s["detect_s"] > 0
+    assert s["boxes"] >= 0
+    engine.reset_stats()
+    assert engine.stats["pages"] == 0

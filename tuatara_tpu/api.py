@@ -125,6 +125,9 @@ class OcrEngine:
         self._recognize_fns: Dict[int, Any] = {}
         self._slab_fns: Dict[Tuple[int, int, int], Any] = {}
         self.last_timings: Dict[str, float] = {}
+        # Cumulative serving counters since construction / reset_stats():
+        # pages, batches, boxes, per-stage seconds, speculation hit/miss.
+        self.stats: Dict[str, float] = self._fresh_stats()
         # Speculative-recognition state: last batch's bucket + batch size
         # (see run_pages — lets the dispatch chain skip the count round-trip).
         self._spec_bucket: Optional[int] = None
@@ -456,6 +459,28 @@ class OcrEngine:
         return images, b, h, w, c
 
     @staticmethod
+    def _fresh_stats() -> Dict[str, float]:
+        return {"pages": 0, "batches": 0, "boxes": 0,
+                "detect_s": 0.0, "recognize_s": 0.0, "decode_s": 0.0,
+                "spec_hits": 0, "spec_misses": 0}
+
+    def reset_stats(self) -> None:
+        """Zero the cumulative serving counters (`engine.stats`)."""
+        self.stats = self._fresh_stats()
+
+    def _account(self, b_real: int) -> None:
+        t = self.last_timings
+        s = self.stats
+        s["pages"] += b_real
+        s["batches"] += 1
+        s["boxes"] += t.get("boxes", 0)
+        for k in ("detect_s", "recognize_s", "decode_s"):
+            s[k] += t.get(k, 0.0)
+        if t.get("speculative"):
+            # A speculative dispatch that needed no fallback pass is a hit.
+            s["spec_misses" if t.get("spec_fallback") else "spec_hits"] += 1
+
+    @staticmethod
     def _check_dtype(images) -> None:
         """Pixels must be uint8 0-255 (the reference contract, CV_8UC3 via
         bindings/python.cpp:12-28). A float image in [0, 1] would silently
@@ -562,6 +587,7 @@ class OcrEngine:
                 "detect_s": t1 - t0, "recognize_s": 0.0, "decode_s": 0.0,
                 "boxes": 0,
             }
+            self._account(b_real)
             return results
 
         # Oversized totals round up to a multiple of max_boxes: a coarse
@@ -570,7 +596,8 @@ class OcrEngine:
         # gather can't produce more rows.
         bucket = self._bucket(total) if total <= K else K * ((total + K - 1) // K)
         bucket = min(bucket, b * K)
-        if spec is None or spec < total:
+        fallback = spec is None or spec < total
+        if fallback:
             # No / failed speculation: one correctly-sized pass. (With a
             # sufficient speculative bucket the first `total` slab rows are
             # already the live crops in (page, slot) order.)
@@ -604,9 +631,11 @@ class OcrEngine:
             "recognize_s": t2 - t1,
             "decode_s": t3 - t2,
             "speculative": rec is not None,
+            "spec_fallback": fallback and rec is not None,
             # spans covers real pages only (dp padding pages are dropped).
             "boxes": int(sum(spans)),
         }
+        self._account(b_real)
         logger.info("ocr timings %s", self.last_timings)
         return results
 
