@@ -229,9 +229,12 @@ def max_pool(x: jnp.ndarray, window: int, stride: int, padding="VALID") -> jnp.n
             raise ValueError(padding)
     return jax.lax.reduce_window(
         x,
-        jnp.asarray(
-            -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
-            else jnp.iinfo(x.dtype).min, x.dtype),
+        # Floats keep the weak-typed Python scalar: a device-array init
+        # value breaks reverse-mode AD through reduce_window (training
+        # path). Integer pools (serving-only, e.g. int8 chains) need the
+        # init typed to the operand dtype.
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+        else jnp.asarray(jnp.iinfo(x.dtype).min, x.dtype),
         jax.lax.max,
         window_dimensions=(1, window, window, 1),
         window_strides=(1, stride, stride, 1),
