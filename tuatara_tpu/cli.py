@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode-mode", choices=["greedy", "beam"], default=None)
     p.add_argument("--beam-size", type=int, default=None)
     p.add_argument("--channel-mode", choices=["python", "cpp", "rgb"], default=None)
+    p.add_argument("--quantized", action="store_true",
+                   help="int8 detector trunk (~2x trunk MXU rate; not "
+                        "bit-parity with the bf16 path — see config.py)")
     p.add_argument("--lines", action="store_true",
                    help="group words into line-level hierarchy "
                         "(one JSON object per line, with member words)")
@@ -71,6 +74,7 @@ def main(argv=None) -> int:
             "decode_mode": args.decode_mode,
             "beam_size": args.beam_size,
             "channel_mode": args.channel_mode,
+            "quantized_serving": True if args.quantized else None,
         }.items()
         if v is not None
     }
