@@ -85,3 +85,41 @@ def test_engine_run_lines_contract(rng):
     for ln in lines:
         assert set(ln) == {"text", "bbox", "confidence", "words"}
         assert ln["text"] == " ".join(wd["text"] for wd in ln["words"])
+
+
+def test_group_lines_fuzz_invariants():
+    """Random boxes: every word lands in exactly one line, line bboxes
+    cover their words, reading order is sorted by y."""
+    import numpy as np
+
+    from tuatara_tpu.ops.grouping import group_lines
+
+    rng = np.random.default_rng(5)
+    words = []
+    for i in range(80):
+        x0 = float(rng.uniform(0, 900))
+        y0 = float(rng.uniform(0, 900))
+        w, h = float(rng.uniform(5, 120)), float(rng.uniform(5, 40))
+        words.append({"text": f"w{i}", "bbox": [x0, y0, x0 + w, y0 + h],
+                      "confidence": float(rng.uniform(0.1, 1.0))})
+    lines = group_lines(words)
+    members = [w["text"] for ln in lines for w in ln["words"]]
+    assert sorted(members) == sorted(w["text"] for w in words)
+    for ln in lines:
+        lx0, ly0, lx1, ly1 = ln["bbox"]
+        for w in ln["words"]:
+            x0, y0, x1, y1 = w["bbox"]
+            assert lx0 <= x0 and ly0 <= y0 and lx1 >= x1 and ly1 >= y1
+        assert 0.0 < ln["confidence"] <= 1.0
+    ys = [ln["bbox"][1] for ln in lines]
+    # reading order: non-strictly increasing top edge per line cluster
+    assert all(ys[i] <= ys[i + 1] + 40 for i in range(len(ys) - 1))
+
+
+def test_group_lines_empty_and_single():
+    from tuatara_tpu.ops.grouping import group_lines
+
+    assert group_lines([]) == []
+    one = [{"text": "a", "bbox": [0.0, 0.0, 5.0, 5.0], "confidence": 0.5}]
+    lines = group_lines(one)
+    assert len(lines) == 1 and lines[0]["text"] == "a"

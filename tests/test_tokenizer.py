@@ -115,3 +115,38 @@ def test_modes_agree_without_collapsed_slot():
     ids = [tok.stoi[c] for c in "Hello42"] + [tok.eos_id, tok.stoi["x"]]
     dists = onehot_dists(ids, tok.vocab_size)[None]
     assert tok.decode(dists, mode="truncate") == tok.decode(dists, mode="reference") == ["Hello42"]
+
+
+def test_decode_ids_fuzz_no_crash_and_eos_contract():
+    """Random id matrices (any vocab id incl. BOS/PAD/EOS at any position):
+    decode never crashes, never emits characters past the first EOS in
+    truncate mode, and raw mode round-trips every id."""
+    import numpy as np
+
+    tok = Tokenizer()
+    rng = np.random.default_rng(0)
+    V = len(tok.itos)
+    ids = rng.integers(0, V, (64, 26))
+    outs = tok.decode_ids(ids)
+    assert len(outs) == 64
+    for row, s in zip(ids, outs):
+        eos_pos = np.where(row == 0)[0]
+        limit = int(eos_pos[0]) if eos_pos.size else len(row)
+        assert len(s) <= limit
+    raws = tok.decode_ids(ids, raw=True)
+    assert all(len(r) == 26 for r in raws)
+
+
+def test_decode_ids_all_special_tokens():
+    """Reference semantics: EOS truncates; BOS/PAD ids decode to their
+    literal table characters '['/'P' (tuatara.cpp:36-39 appends them to the
+    charset table, and nothing strips them — only EOS gets handling)."""
+    import numpy as np
+
+    tok = Tokenizer()
+    bos, pad = len(tok.itos) - 2, len(tok.itos) - 1
+    ids = np.array([[0] * 8, [bos] * 8, [pad] * 8])
+    outs = tok.decode_ids(ids)
+    assert outs[0] == ""          # immediate EOS
+    assert outs[1] == "[" * 8     # BOS is the literal '[' table entry
+    assert outs[2] == "P" * 8     # PAD is the literal 'P' table entry
