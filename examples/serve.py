@@ -41,26 +41,41 @@ def main() -> int:
         cfg = dataclasses.replace(cfg, quantized_serving=True)
     engine = OcrEngine(cfg, weights_dir=args.weights)
 
-    pages = [load_image(p, keep_gray=True) for p in args.images]
+    if args.batch < 1 or args.batches < 1:
+        ap.error("--batch and --batches must be >= 1")
 
-    if len({p.shape for p in pages}) > 1:
+    pages = [load_image(p, keep_gray=True) for p in args.images]
+    shapes = {p.shape for p in pages}
+
+    if len(shapes) > 1:
         # Mixed sizes: group-by-shape batching, original order preserved.
+        engine.run_mixed(pages, max_batch=args.batch)  # untimed compile pass
         t0 = time.perf_counter()
         results = engine.run_mixed(pages, max_batch=args.batch)
         dt = time.perf_counter() - t0
-        print(f"run_mixed: {len(pages)} pages, {len({p.shape for p in pages})} "
-              f"shapes, {len(pages)/dt:.1f} pages/sec")
+        print(f"run_mixed: {len(pages)} pages, {len(shapes)} shapes, "
+              f"{len(pages)/dt:.1f} pages/sec")
     else:
-        # Same-shape stream: pipelined serving loop.
-        batch = np.stack(pages[: args.batch]) if len(pages) > 1 else \
-            np.broadcast_to(pages[0], (args.batch,) + pages[0].shape).copy()
-        engine.warmup(batch.shape[1], batch.shape[2], batch.shape[0],
-                      channels=1 if batch.ndim == 3 else batch.shape[-1])
+        # Same-shape stream: pipelined serving loop over ALL given pages
+        # (padded by replication to fill the last batch).
+        if len(pages) == 1:
+            batches = [np.broadcast_to(
+                pages[0], (args.batch,) + pages[0].shape).copy()] * args.batches
+        else:
+            batches = []
+            for i in range(0, len(pages), args.batch):
+                chunk = pages[i:i + args.batch]
+                while len(chunk) < args.batch:
+                    chunk.append(chunk[-1])
+                batches.append(np.stack(chunk))
+        # Warm up with a REAL batch (same rank/shape as the stream) so
+        # compiles happen before the timed region.
+        engine.run_pages(batches[0])
         t0 = time.perf_counter()
-        stream = engine.run_stream([batch] * args.batches, prefetch=4, depth=2)
+        stream = engine.run_stream(batches, prefetch=4, depth=2)
         dt = time.perf_counter() - t0
         results = stream[-1]
-        n = batch.shape[0] * args.batches
+        n = sum(b.shape[0] for b in batches)
         print(f"run_stream: {n} pages in {dt:.2f}s = {n/dt:.1f} pages/sec")
 
     sample = results[0] if results and isinstance(results[0], list) else results

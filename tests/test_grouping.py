@@ -89,11 +89,7 @@ def test_engine_run_lines_contract(rng):
 
 def test_group_lines_fuzz_invariants():
     """Random boxes: every word lands in exactly one line, line bboxes
-    cover their words, reading order is sorted by y."""
-    import numpy as np
-
-    from tuatara_tpu.ops.grouping import group_lines
-
+    cover their words, reading order is sorted by (y, x)."""
     rng = np.random.default_rng(5)
     words = []
     for i in range(80):
@@ -111,14 +107,11 @@ def test_group_lines_fuzz_invariants():
             x0, y0, x1, y1 = w["bbox"]
             assert lx0 <= x0 and ly0 <= y0 and lx1 >= x1 and ly1 >= y1
         assert 0.0 < ln["confidence"] <= 1.0
-    ys = [ln["bbox"][1] for ln in lines]
-    # reading order: non-strictly increasing top edge per line cluster
-    assert all(ys[i] <= ys[i + 1] + 40 for i in range(len(ys) - 1))
+    keys = [(ln["bbox"][1], ln["bbox"][0]) for ln in lines]
+    assert keys == sorted(keys)  # exact reading order, no slack
 
 
 def test_group_lines_empty_and_single():
-    from tuatara_tpu.ops.grouping import group_lines
-
     assert group_lines([]) == []
     one = [{"text": "a", "bbox": [0.0, 0.0, 5.0, 5.0], "confidence": 0.5}]
     lines = group_lines(one)

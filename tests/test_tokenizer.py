@@ -121,8 +121,6 @@ def test_decode_ids_fuzz_no_crash_and_eos_contract():
     """Random id matrices (any vocab id incl. BOS/PAD/EOS at any position):
     decode never crashes, never emits characters past the first EOS in
     truncate mode, and raw mode round-trips every id."""
-    import numpy as np
-
     tok = Tokenizer()
     rng = np.random.default_rng(0)
     V = len(tok.itos)
@@ -141,8 +139,6 @@ def test_decode_ids_all_special_tokens():
     """Reference semantics: EOS truncates; BOS/PAD ids decode to their
     literal table characters '['/'P' (tuatara.cpp:36-39 appends them to the
     charset table, and nothing strips them — only EOS gets handling)."""
-    import numpy as np
-
     tok = Tokenizer()
     bos, pad = len(tok.itos) - 2, len(tok.itos) - 1
     ids = np.array([[0] * 8, [bos] * 8, [pad] * 8])
