@@ -165,3 +165,15 @@ def test_quantized_conv_zero_pad_exact(rng):
     x = jnp.zeros((1, 4, 4, 4), jnp.float32)
     y = np.asarray(conv2d_q(p, x, out_dtype=jnp.float32))
     np.testing.assert_array_equal(y, 0.0)
+
+
+def test_quantized_linear_close_to_float(rng):
+    from tuatara_tpu.models.layers import linear, quantize_linear
+
+    x = jnp.array(rng.standard_normal((4, 7, 64)).astype(np.float32))
+    p = {"w": jnp.array((rng.standard_normal((64, 48)) * 0.1).astype(np.float32)),
+         "b": jnp.array(rng.standard_normal(48).astype(np.float32))}
+    ref = np.asarray(linear(p, x, compute_dtype=jnp.float32))
+    got = np.asarray(linear(quantize_linear(p), x, compute_dtype=jnp.float32))
+    scale = np.abs(ref).max()
+    assert np.abs(ref - got).max() < 0.02 * scale

@@ -116,10 +116,13 @@ class OcrEngine:
         )
         if config.quantized_serving:
             from tuatara_tpu.models.craft import quantize_craft_trunk
+            from tuatara_tpu.models.parseq import quantize_parseq_encoder
 
-            # Opt-in int8 trunk (~2x detector MXU time; NOT bit-parity —
-            # threshold-adjacent boxes can differ, see quantize_craft_trunk).
+            # Opt-in int8 serving (~2x MXU rate on the quantized layers;
+            # NOT bit-parity — threshold-adjacent boxes / low-margin
+            # transcripts can differ, see quantize_craft_trunk).
             self.craft_params = quantize_craft_trunk(self.craft_params)
+            self.parseq_params = quantize_parseq_encoder(self.parseq_params)
 
         self._detect_fns: Dict[Tuple[int, int, int, int], Any] = {}
         self._recognize_fns: Dict[int, Any] = {}

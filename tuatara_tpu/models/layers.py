@@ -254,6 +254,8 @@ def init_linear(key, cin, cout, bias=True, init=trunc_normal) -> Params:
 
 
 def linear(params: Params, x: jnp.ndarray, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    if "wq" in params:  # quantized weights (quantize_linear) — serving only
+        return linear_q(params, x, out_dtype=compute_dtype)
     y = jnp.dot(
         x.astype(compute_dtype),
         params["w"].astype(compute_dtype),
@@ -262,6 +264,35 @@ def linear(params: Params, x: jnp.ndarray, compute_dtype=jnp.bfloat16) -> jnp.nd
     if "b" in params:
         y = y + params["b"].astype(y.dtype)
     return y
+
+
+def quantize_linear(params: Params) -> Params:
+    """Per-output-column symmetric int8 quantization of linear weights
+    ({"w" [in,out], "b"?} -> {"wq" int8, "sw" [out], "b"?}); `linear`
+    dispatches on the "wq" key, so a transformer encoder quantizes by a
+    pure params transform with no forward-code changes."""
+    w = params["w"].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=0)
+    sw = jnp.maximum(amax, 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(w / sw), -127, 127).astype(jnp.int8)
+    out: Params = {"wq": wq, "sw": sw}
+    if "b" in params:
+        out["b"] = params["b"].astype(jnp.float32)
+    return out
+
+
+def linear_q(qp: Params, x: jnp.ndarray, out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Quantized matmul: dynamic per-tensor int8 activations x per-column
+    int8 weights -> int32, fp32 dequant + bias (see conv2d_q)."""
+    xq, xs = quantize_act(x)
+    y = jax.lax.dot_general(
+        xq, qp["wq"], (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (qp["sw"] / xs)
+    if "b" in qp:
+        y = y + qp["b"]
+    return y.astype(out_dtype)
 
 
 def init_layernorm(c: int) -> Params:

@@ -108,6 +108,33 @@ def parseq_encode(
     return L.layernorm(params["enc_norm"], x, cfg.layer_norm_eps)
 
 
+def quantize_parseq_encoder(params: Params) -> Params:
+    """Serving-only int8 quantization of the ViT encoder's linear layers.
+
+    Per-column int8 weights + dynamic per-tensor int8 activations on the
+    patch embed and every encoder block's attention q/k/v/o and MLP
+    fc1/fc2 (L.linear dispatches on the "wq" key, so the forward is
+    unchanged). LayerNorms, softmax, and the ENTIRE decoder stay fp32/bf16
+    — the AR decode is latency-bound, not MXU-bound, and its logits feed
+    argmax directly. Opt-in via OcrConfig.quantized_serving; accuracy
+    deltas ride the same regression test as the detector trunk.
+    """
+    q: Params = dict(params)
+    q["patch_embed"] = L.quantize_linear(params["patch_embed"])
+    q["enc"] = [
+        {
+            "norm1": blk["norm1"],
+            "norm2": blk["norm2"],
+            "attn": {k: L.quantize_linear(blk["attn"][k])
+                     for k in ("q", "k", "v", "o")},
+            "mlp": {k: L.quantize_linear(blk["mlp"][k])
+                    for k in ("fc1", "fc2")},
+        }
+        for blk in params["enc"]
+    ]
+    return q
+
+
 # ---------------------------------------------------------------------------
 # Decoder layer (dual-stream; inference uses only the query stream)
 # ---------------------------------------------------------------------------
