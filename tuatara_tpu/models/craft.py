@@ -214,6 +214,9 @@ def quantize_craft_trunk(params: Params) -> Params:
     if "bn" in next(iter(params["vgg"].values())):
         raise ValueError("quantize_craft_trunk requires BN-folded params "
                          "(fold_batchnorms first)")
+    if "wq" in params["vgg"].get("conv1_2", {}).get("conv", {}):
+        return params  # already quantized (e.g. weights saved from a
+        # quantized engine) — idempotent
     q: Params = {"vgg": {}, "fc": {}, "up": params["up"], "head": params["head"]}
     for name, blk in params["vgg"].items():
         if name == "conv1_1":

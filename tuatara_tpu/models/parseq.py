@@ -119,6 +119,8 @@ def quantize_parseq_encoder(params: Params) -> Params:
     argmax directly. Opt-in via OcrConfig.quantized_serving; accuracy
     deltas ride the same regression test as the detector trunk.
     """
+    if "wq" in params["patch_embed"]:
+        return params  # already quantized — idempotent
     q: Params = dict(params)
     q["patch_embed"] = L.quantize_linear(params["patch_embed"])
     q["enc"] = [
