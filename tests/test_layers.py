@@ -177,3 +177,22 @@ def test_quantized_linear_close_to_float(rng):
     got = np.asarray(linear(quantize_linear(p), x, compute_dtype=jnp.float32))
     scale = np.abs(ref).max()
     assert np.abs(ref - got).max() < 0.02 * scale
+
+
+def test_quantized_u8_first_conv_close_to_float(rng):
+    """Zero-point-128 int8 first conv over the uint8 pixel grid: error is
+    bounded by WEIGHT quantization only (input recoding is exact), and the
+    explicit -128 padding reproduces the reference's zero-pad."""
+    from tuatara_tpu.models.layers import conv2d, conv2d_q_u8, quantize_conv
+
+    u8 = rng.integers(0, 256, (2, 16, 24, 3)).astype(np.float32)
+    x = jnp.array(u8 / 255.0)
+    p = {"w": jnp.array((rng.standard_normal((3, 3, 3, 16)) * 0.2).astype(np.float32)),
+         "b": jnp.array(rng.standard_normal(16).astype(np.float32))}
+    ref = np.asarray(conv2d(p, x, compute_dtype=jnp.float32))
+    qp = quantize_conv(p)
+    qp["sumw"] = p["w"].sum((0, 1, 2))
+    got = np.asarray(conv2d_q_u8(qp, x, out_dtype=jnp.float32))
+    scale = np.abs(ref).max()
+    assert np.abs(ref - got).max() < 0.01 * scale, (
+        np.abs(ref - got).max(), scale)

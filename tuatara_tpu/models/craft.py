@@ -220,6 +220,10 @@ def quantize_craft_trunk(params: Params) -> Params:
     q: Params = {"vgg": {}, "fc": {}, "up": params["up"], "head": params["head"]}
     for name, blk in params["vgg"].items():
         if name == "conv1_1":
+            # Stays bf16: a zero-point-128 int8 variant over the uint8
+            # pixel grid (layers.conv2d_q_u8) traced NO faster — the int8
+            # conv emitter has no advantage at cin=3 and the explicit
+            # -128 pad costs what the fused fp32 input-prep did.
             q["vgg"][name] = blk
         else:
             q["vgg"][name] = {"conv": L.quantize_conv(blk["conv"])}
@@ -230,6 +234,8 @@ def quantize_craft_trunk(params: Params) -> Params:
 
 def _conv_or_q(cp: Params, h: jnp.ndarray, compute_dtype,
                dilation: int = 1) -> jnp.ndarray:
+    if "sumw" in cp:  # zero-point u8 first conv (see conv2d_q_u8; unused
+        return L.conv2d_q_u8(cp, h, out_dtype=compute_dtype)  # by default)
     if "wq" in cp:
         return L.conv2d_q(cp, h, dilation=dilation, out_dtype=compute_dtype)
     return L.conv2d(cp, h, dilation=dilation, compute_dtype=compute_dtype)

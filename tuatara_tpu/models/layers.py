@@ -179,6 +179,36 @@ def conv2d_q(
                         dilation=dilation, out_dtype=out_dtype)
 
 
+def conv2d_q_u8(qp: Params, x: jnp.ndarray, out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Quantized first conv over a [0,1] image known to lie on the uint8
+    grid (x = k/255): zero-point-128 int8 input with EXACT 8-bit fidelity.
+
+    xq = round(x*255) - 128 is an exact affine recoding of the uint8
+    pixels (XLA folds the /255 -> *255 round-trip away, so the fp32 image
+    never materializes); the conv pads explicitly with -128 (true black,
+    matching the reference's zero-pad) and runs VALID int8x int8 -> int32.
+    Dequant inverts the affine map: conv(x, w) = (sw*conv_i32 + 128*sumw)
+    / 255 + b, with sumw[o] = sum of the fp32 weights per out channel
+    (stored at quantization time). For resampled inputs that left the u8
+    grid the rounding adds <= 1/510 absolute input error — same class as
+    the weight quantization error. 3x3 stride-1 convs only.
+    """
+    kh, kw = qp["wq"].shape[:2]
+    assert (kh, kw) == (3, 3), "u8 zero-point path assumes a 3x3 conv"
+    xq = (jnp.clip(jnp.round(x.astype(jnp.float32) * 255.0), 0, 255) - 128
+          ).astype(jnp.int8)
+    xq = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-128)
+    y = jax.lax.conv_general_dilated(
+        xq, qp["wq"], (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = (y.astype(jnp.float32) * qp["sw"] + 128.0 * qp["sumw"]) / 255.0
+    if "b" in qp:
+        y = y + qp["b"]
+    return y.astype(out_dtype)
+
+
 def init_batchnorm(c: int) -> Params:
     return {
         "scale": jnp.ones((c,), jnp.float32),
