@@ -60,22 +60,31 @@ def craft_loss(
     if confidence is not None:
         err = err * confidence[..., None]
 
-    pos = target_heatmaps[..., 0] > 0.1  # region positives
-    per_pixel = err.sum(-1)
-    pos_loss = jnp.where(pos, per_pixel, 0.0)
-    n_pos = jnp.maximum(pos.sum(), 1)
+    def channel_ohem(err_c: jnp.ndarray, tgt_c: jnp.ndarray):
+        """OHEM over ONE map: positives are that map's own supervised
+        pixels. Mining region and affinity separately matters — an
+        affinity-positive pixel between widely spaced characters has
+        region target ~0, and a region-only positive definition would
+        demote it to a background negative that OHEM can drop entirely,
+        removing its affinity supervision (the standard CRAFT objective
+        mines the two maps independently)."""
+        pos = tgt_c > 0.1
+        pos_loss = jnp.where(pos, err_c, 0.0)
+        n_pos = jnp.maximum(pos.sum(), 1)
+        neg_vals = jnp.where(pos, -jnp.inf, err_c).reshape(-1)
+        k = neg_vals.shape[0]
+        sorted_negs = jnp.sort(neg_vals)[::-1]
+        n_neg = jnp.minimum((neg_ratio * n_pos).astype(jnp.int32), k)
+        thresh = sorted_negs[jnp.clip(n_neg - 1, 0, k - 1)]
+        neg_keep = (~pos) & (err_c >= thresh) & jnp.isfinite(err_c)
+        neg_loss = jnp.where(neg_keep, err_c, 0.0)
+        denom = n_pos + jnp.maximum(neg_keep.sum(), 1)
+        return (pos_loss.sum() + neg_loss.sum()) / denom, pos_loss.sum() / n_pos, n_pos
 
-    # OHEM: keep the hardest neg_ratio * n_pos background pixels per batch.
-    neg_vals = jnp.where(pos, -jnp.inf, per_pixel).reshape(-1)
-    k = neg_vals.shape[0]
-    sorted_negs = jnp.sort(neg_vals)[::-1]
-    n_neg = jnp.minimum((neg_ratio * n_pos).astype(jnp.int32), k)
-    thresh = sorted_negs[jnp.clip(n_neg - 1, 0, k - 1)]
-    neg_keep = (~pos) & (per_pixel >= thresh) & jnp.isfinite(per_pixel)
-    neg_loss = jnp.where(neg_keep, per_pixel, 0.0)
-
-    loss = (pos_loss.sum() + neg_loss.sum()) / (n_pos + jnp.maximum(neg_keep.sum(), 1))
-    metrics = {"craft_pos": pos_loss.sum() / n_pos, "craft_n_pos": n_pos}
+    l_region, pos_region, n_pos = channel_ohem(err[..., 0], target_heatmaps[..., 0])
+    l_affinity, _, _ = channel_ohem(err[..., 1], target_heatmaps[..., 1])
+    loss = l_region + l_affinity
+    metrics = {"craft_pos": pos_region, "craft_n_pos": n_pos}
     if new_bn is not None:
         metrics["craft_bn_params"] = new_bn
     return loss, metrics
@@ -93,8 +102,7 @@ def gen_permutations(key: jax.Array, max_len: int, k_perms: int) -> jnp.ndarray:
     """
     lr = jnp.arange(1, max_len + 1)
     rows = [lr]
-    n_random = max(0, (k_perms - 1 + 1) // 2 - 0)
-    keys = jax.random.split(key, max(n_random, 1))
+    keys = jax.random.split(key, max(k_perms // 2, 1))
     while len(rows) < k_perms:
         if len(rows) % 2 == 1:
             rows.append(rows[-1][::-1])  # mirror of previous
@@ -140,7 +148,6 @@ def parseq_plm_loss(
     [BOS, chars..., EOS, PAD...] (tokenizer.encode layout); label_lengths [N]
     = chars + EOS count.
     """
-    N = images.shape[0]
     T = cfg.max_label_length + 1
     memory = parseq_encode(params, images, cfg)
 
@@ -148,6 +155,7 @@ def parseq_plm_loss(
     tgt_out = labels[:, 1 : T + 1]  # [chars..., EOS, PAD...]
     steps = jnp.arange(T)[None]
     loss_mask = steps < label_lengths[:, None]  # include EOS position
+    is_eos = tgt_out == 0
 
     perms = gen_permutations(key, cfg.max_label_length, k_perms)
 
@@ -158,15 +166,20 @@ def parseq_plm_loss(
     # parseq_refine (models/parseq.py).
     pad = jnp.cumsum((tgt_in == 0).astype(jnp.int32), axis=1) > 0  # [N, T]
 
-    def one_perm(perm):
+    def one_perm(perm, keep_eos):
         qmask = perm_attention_masks(perm, cfg.max_label_length)[None, None]
         qmask = qmask & ~pad[:, None, None, :]  # [N, 1, T, T]
         logits = parseq_decode(params, memory, tgt_in, cfg, query_mask=qmask)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         tok_lp = jnp.take_along_axis(logp, tgt_out[..., None].clip(0, logits.shape[-1] - 1), axis=-1)[..., 0]
-        return -(tok_lp * loss_mask).sum()
+        # The PARSEQ recipe supervises EOS only under the canonical +
+        # mirrored pair: under an arbitrary permutation "predict EOS" is
+        # asked from a sparse context subset (e.g. from BOS alone), and
+        # averaging that over K perms trains premature termination.
+        m = loss_mask & (keep_eos | ~is_eos)
+        return -(tok_lp * m).sum(), m.sum()
 
-    total = jnp.sum(jax.vmap(one_perm)(perms))
-    denom = jnp.maximum(loss_mask.sum() * k_perms, 1)
-    loss = total / denom
+    keep_eos = jnp.arange(k_perms) < 2
+    per_perm_loss, per_perm_count = jax.vmap(one_perm)(perms, keep_eos)
+    loss = per_perm_loss.sum() / jnp.maximum(per_perm_count.sum(), 1)
     return loss, {"parseq_ce": loss}

@@ -7,7 +7,8 @@ Usage (programmatic; also exercised by tests/test_train_e2e.py):
 
 This is the scaffolding a real retrain (e.g. the extended-charset run) plugs
 a dataset into; it wires tokenizer -> synthetic data -> PLM loss -> optax,
-all jitted, with optional checkpointing.
+all jitted. Persistence lives in train/checkpoint.py (save the returned
+params with utils/weights.save_weights_dir to serve them).
 """
 
 from __future__ import annotations
@@ -43,7 +44,11 @@ def fit_recognizer(
     tok = tokenizer or Tokenizer()
     rng = np.random.default_rng(seed)
     if data is None:
-        data = word_batch(batch_size, tok, rng, max_length=cfg.max_label_length)
+        # Rendered word length must fit the label budget: longer words
+        # would silently train premature EOS on truncated labels while the
+        # crop still shows the full word.
+        data = word_batch(batch_size, tok, rng, max_length=cfg.max_label_length,
+                          max_len=min(8, cfg.max_label_length))
 
     params = init_parseq_params(jax.random.PRNGKey(seed), cfg)
     tx = optax.adam(lr)
@@ -110,13 +115,9 @@ def fit_detector(
         params = optax.apply_updates(params, updates)
         # BN running stats are buffers, not trained weights: splice the
         # train-forward's updated mean/var over the optimizer output.
-        bn = metrics["craft_bn_params"]
+        from tuatara_tpu.train.trainer import _splice_bn_stats
 
-        def pick(path, a, b):
-            name = getattr(path[-1], "key", None)
-            return b if name in ("mean", "var") else a
-
-        params = jax.tree_util.tree_map_with_path(pick, params, bn)
+        params = _splice_bn_stats(params, metrics["craft_bn_params"])
         return params, opt_state, loss
 
     losses = []

@@ -175,18 +175,19 @@ def shard_train_state(
                      is_leaf=lambda x: isinstance(x, P)),
     )
     # Reshard the EXISTING optimizer state (Adam moments of a resumed run
-    # must survive). Target shardings come from a throwaway tx.init on the
-    # committed params — its tree mirrors opt_state exactly and each leaf is
-    # committed with the matching param's sharding.
-    template = tx.init({"craft": craft_p, "parseq": parseq_p})
+    # must survive). Target shardings come from COMPILING tx.init on the
+    # committed params — GSPMD propagates each parameter's sharding to its
+    # moments, and compile-only means no throwaway optimizer state is ever
+    # allocated (a full tx.init would transiently double optimizer memory,
+    # which can OOM a resume that otherwise fits).
+    compiled = jax.jit(tx.init).lower({"craft": craft_p, "parseq": parseq_p}).compile()
 
-    def leaf_sharding(x):
-        # Leaves not derived from params (e.g. Adam's step count) come out of
-        # tx.init on a single device; those replicate over the mesh.
-        s = x.sharding
+    def leaf_sharding(s):
+        # Leaves not derived from params (e.g. Adam's step count) may come
+        # back single-device; those replicate over the mesh.
         return s if isinstance(s, NamedSharding) else ns(P())
 
-    opt_shardings = jax.tree.map(leaf_sharding, template)
+    opt_shardings = jax.tree.map(leaf_sharding, compiled.output_shardings)
     opt_state = jax.device_put(state.opt_state, opt_shardings)
     return TrainState(jax.device_put(state.step, ns(P())), craft_p, parseq_p, opt_state)
 
