@@ -4,23 +4,30 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 Headline metric: end-to-end OCR throughput (detect + postproc + crops +
 PARSEQ greedy decode + host string assembly) over the reference FUNSD page
-(funsd_0001129658.png), batched. `vs_baseline` is measured against the
-north-star target of 100 pages/sec (BASELINE.md — the reference publishes no
-numbers; its apparatus is one wall-clock print, tuatara.cpp:507-509).
+(funsd_0001129658.png), batched + pipelined. `vs_baseline` is measured
+against the north-star target of 100 pages/sec (BASELINE.md — the reference
+publishes no numbers; its apparatus is one wall-clock print,
+tuatara.cpp:507-509).
 
+The artifact carries its own transfer evidence: `h2d_bandwidth_mbs` is a
+measured steady-state host->device bandwidth probe (timed jax.device_put of
+page-batch-sized buffers) and `transfer_bound_ceiling_pages_per_sec` the
+throughput that bandwidth admits for this page's bytes — so a reader can
+tell "dev-tunnel transfer ceiling" apart from "engine inefficiency"
+(compute_pages_per_sec is the device-resident rate).
+
+All five BASELINE.md configs are recorded by default: (1) FUNSD dense batch
+(headline), (2) resume single-image, (3) rotated rectification, (4)
+mixed-size batching via run_mixed (table + FUNSD + resume), (5) beam decode.
 Model weights are randomly initialized (no pretrained checkpoints exist in
 this zero-egress environment); compute cost is identical to trained weights.
 Box count per page depends on weights, so the bench also reports ms/crop for
 the recognizer at a fixed 256-crop slab, the second BASELINE.md metric.
-
-BENCH_FULL=1 additionally times the other BASELINE.md configs (resume single
-image, rotated rectification path, table/multi-size pages) — each page shape
-compiles its own detection program, so the first full run is slow on a cold
-cache.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
@@ -30,57 +37,82 @@ import numpy as np
 
 PAGES = 16
 WARMUP = 2
-ITERS = 10
+ITERS = int(os.environ.get("BENCH_ITERS", "40"))
 TARGET_PAGES_PER_SEC = 100.0
 
-FUNSD = "/root/reference/images/funsd_0001129658.png"
+IMAGES = "/root/reference/images"
+FUNSD = f"{IMAGES}/funsd_0001129658.png"
+
+
+def _best_stream(engine, batches, repeats=2, **kw):
+    import time
+
+    best = 0.0
+    n_pages = sum(b.shape[0] if b.ndim >= 3 else 1 for b in batches)
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = engine.run_stream(list(batches), **kw)
+        best = max(best, n_pages / (time.perf_counter() - t0))
+    return best, out
 
 
 def main() -> int:
     import jax
 
     from tuatara_tpu.api import OcrEngine
+    from tuatara_tpu.config import DEFAULT_CONFIG
     from tuatara_tpu.utils.image import load_image
+
+    extras = {}
 
     # FUNSD scans are natively grayscale; feed them as [B, H, W] so H2D
     # carries a third of the bytes. Results are bit-identical to the RGB
     # conversion (the engine broadcasts the channel on device).
     img = load_image(FUNSD, keep_gray=True)
     pages = np.broadcast_to(img, (PAGES,) + img.shape).copy()
+    page_bytes = pages.nbytes / PAGES
 
     engine = OcrEngine()
-
-    # --- end-to-end pages/sec (pipelined serving loop: H2D overlaps compute).
-    # Best of 3 runs: the dev environment's host->TPU tunnel is shared, and a
-    # single run can catch an unrelated transfer stall; max-of-N is the
-    # standard interference-suppressed throughput measurement. ---
-    # depth=2 keeps two batches in flight so the dev tunnel's per-RPC
-    # latency (~30 ms dispatch + fetch, and H2D that serializes behind
-    # in-flight programs) hides under compute; prefetch=4 keeps the
-    # producer ahead through transfer stalls.
     for _ in range(WARMUP):
         engine.run_pages(pages)
-    pages_per_sec = 0.0
-    for _ in range(3):
+
+    # --- measured H2D bandwidth + the e2e ceiling it admits -------------
+    # Steady state: the first put pays tunnel/program setup; time the rest.
+    # Distinct buffers each put (a repeated identical array can be cached).
+    bufs = [pages + np.uint8(i) for i in range(6)]
+    jax.block_until_ready(jax.device_put(bufs[0]))
+    bw = 0.0
+    for b in bufs[1:]:
         t0 = time.perf_counter()
-        all_results = engine.run_stream([pages] * ITERS, prefetch=4, depth=2)
-        dt = time.perf_counter() - t0
-        pages_per_sec = max(pages_per_sec, PAGES * ITERS / dt)
+        jax.block_until_ready(jax.device_put(b))
+        bw = max(bw, b.nbytes / (time.perf_counter() - t0))
+    extras["h2d_bandwidth_mbs"] = round(bw / 1e6, 1)
+    extras["page_kb"] = round(page_bytes / 1e3, 1)
+    extras["transfer_bound_ceiling_pages_per_sec"] = round(bw / page_bytes, 1)
+
+    # --- end-to-end pages/sec (pipelined serving loop: H2D overlaps
+    # compute). Long stream so steady state dominates; (prefetch, depth)
+    # swept and recorded — best wins the headline. Best-of-N runs per
+    # config: the dev host->TPU tunnel is shared and a single run can catch
+    # an unrelated transfer stall. ---
+    pages_per_sec = 0.0
+    sweep = {}
+    for prefetch, depth in ((4, 2), (8, 3), (16, 4)):
+        v, out = _best_stream(engine, [pages] * ITERS, repeats=2,
+                              prefetch=prefetch, depth=depth)
+        sweep[f"p{prefetch}_d{depth}"] = round(v, 1)
+        if v > pages_per_sec:
+            pages_per_sec, all_results = v, out
+    extras["e2e_sweep"] = sweep
     boxes = sum(len(r) for batch in all_results for r in batch) // ITERS
 
     # --- compute-only pages/sec (device-resident input; what non-tunnel
     # hardware with PCIe/DMA ingest would see end-to-end). Same pipelined
     # serving loop, H2D excluded. ---
-    import jax
-
     pages_dev = jax.device_put(pages)
     engine.run_pages(pages_dev)
-    compute_pages_per_sec = 0.0
-    for _ in range(2):
-        t0 = time.perf_counter()
-        engine.run_stream([pages_dev] * ITERS, depth=2)
-        compute_pages_per_sec = max(
-            compute_pages_per_sec, PAGES * ITERS / (time.perf_counter() - t0))
+    compute_pages_per_sec, _ = _best_stream(
+        engine, [pages_dev] * 10, repeats=2, depth=2)
 
     # --- recognizer ms/crop at a full 256-crop slab ---
     import jax.numpy as jnp
@@ -98,42 +130,49 @@ def main() -> int:
     jax.block_until_ready(outs)
     ms_per_crop = (time.perf_counter() - t0) / 5 / 256 * 1000
 
-    extras = {}
-    # Opt-in int8 detector trunk (OcrConfig.quantized_serving): reported as
-    # an extra metric, not the headline — it is not bit-parity with the
-    # reference math (see config.py).
-    import dataclasses
+    # --- BASELINE.md config (2): resume single-image latency path ---
+    resume_img = load_image(f"{IMAGES}/resume_example.png")
+    engine.run(resume_img)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        engine.run(resume_img)
+    extras["resume_pages_per_sec"] = round(3 / (time.perf_counter() - t0), 3)
 
-    from tuatara_tpu.config import DEFAULT_CONFIG
+    # --- BASELINE.md config (3): rotated-box rectification path ---
+    rot_eng = OcrEngine(dataclasses.replace(DEFAULT_CONFIG, box_mode="rotated"))
+    rot_img = load_image(f"{IMAGES}/rotated_text.png")
+    rot_eng.run(rot_img)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        rot_eng.run(rot_img)
+    extras["rotated_rectify_pages_per_sec"] = round(
+        3 / (time.perf_counter() - t0), 3)
 
+    # --- BASELINE.md config (4): mixed page sizes via run_mixed ---
+    table_img = load_image(f"{IMAGES}/table_english.png")
+    mixed = [img[..., None], table_img, resume_img, img[..., None],
+             table_img, resume_img]
+    engine.run_mixed(mixed)  # compile all shapes
+    t0 = time.perf_counter()
+    for _ in range(3):
+        engine.run_mixed(mixed)
+    extras["mixed_pages_per_sec"] = round(
+        3 * len(mixed) / (time.perf_counter() - t0), 3)
+
+    # --- BASELINE.md config (5): beam decode throughput ---
+    beam_eng = OcrEngine(dataclasses.replace(DEFAULT_CONFIG,
+                                             decode_mode="beam"))
+    beam_eng.run_pages(pages_dev)
+    v, _ = _best_stream(beam_eng, [pages_dev] * 6, repeats=2, depth=2)
+    extras["beam_compute_pages_per_sec"] = round(v, 3)
+
+    # --- opt-in int8 detector trunk (OcrConfig.quantized_serving):
+    # reported as an extra metric, not the headline — it is not bit-parity
+    # with the reference math (see config.py). ---
     qeng = OcrEngine(dataclasses.replace(DEFAULT_CONFIG, quantized_serving=True))
     qeng.run_pages(pages_dev)
-    q_best = 0.0
-    for _ in range(2):
-        t0 = time.perf_counter()
-        qeng.run_stream([pages_dev] * 6, depth=2)
-        q_best = max(q_best, PAGES * 6 / (time.perf_counter() - t0))
-    extras["quantized_compute_pages_per_sec"] = round(q_best, 3)
-
-    if os.environ.get("BENCH_FULL"):
-        from tuatara_tpu.api import OcrEngine as _Eng
-
-        def time_single(path, cfg=None, runs=3):
-            eng = engine if cfg is None else _Eng(cfg)
-            im = load_image(path)
-            eng.run(im)
-            t0 = time.perf_counter()
-            for _ in range(runs):
-                r = eng.run(im)
-            return round(runs / (time.perf_counter() - t0), 3), len(r)
-
-        extras["resume_pages_per_sec"], _ = time_single(
-            "/root/reference/images/resume_example.png")
-        extras["table_pages_per_sec"], _ = time_single(
-            "/root/reference/images/table_english.png")
-        rot_cfg = dataclasses.replace(DEFAULT_CONFIG, box_mode="rotated")
-        extras["rotated_rectify_pages_per_sec"], _ = time_single(
-            "/root/reference/images/rotated_text.png", rot_cfg)
+    v, _ = _best_stream(qeng, [pages_dev] * 6, repeats=2, depth=2)
+    extras["quantized_compute_pages_per_sec"] = round(v, 3)
 
     print(json.dumps({
         "metric": "funsd_pages_per_sec_e2e",
@@ -144,6 +183,7 @@ def main() -> int:
         "ms_per_crop_parseq": round(ms_per_crop, 4),
         "boxes_per_run": boxes,
         "page_batch": PAGES,
+        "stream_iters": ITERS,
         "device": str(jax.devices()[0]),
         "timings_last": {k: round(v, 4) if isinstance(v, float) else v
                          for k, v in engine.last_timings.items()},

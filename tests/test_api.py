@@ -128,6 +128,9 @@ def test_grayscale_input_bit_identical_to_rgb(engine, rng):
     assert engine.run(gray) == ref                      # [H, W]
     assert engine.run_pages(gray[None])[0] == ref       # [B, H, W]
     assert engine.run_pages(gray[None, ..., None])[0] == ref  # [B, H, W, 1]
+    # [H, W, 1] is ONE grayscale page, not a batch of H pages of shape W x 1
+    # (regression: 3-D with last dim != 3 used to always mean "gray batch").
+    assert engine.run_pages(gray[..., None])[0] == ref  # [H, W, 1]
 
     # Mixed-shape validation still rejects nonsense.
     with pytest.raises(ValueError):

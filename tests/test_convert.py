@@ -347,3 +347,56 @@ def test_qkv_split_matches_torch_mha(rng):
         m.out_proj.bias.copy_(torch.tensor(bo))
         yt, _ = m(torch.tensor(xq), torch.tensor(xkv), torch.tensor(xkv))
     np.testing.assert_allclose(np.asarray(y), yt.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_craft_conversion_strips_wrapper_prefix(rng):
+    """A CRAFT checkpoint whose keys carry a tracing-wrapper attribute path
+    (e.g. re-traced inside a wrapper module -> 'net.basenet...') converts to
+    the identical pytree (VERDICT r2 #6 — first-contact robustness)."""
+
+    class Wrapper(torch.nn.Module):
+        def __init__(self, inner):
+            super().__init__()
+            self.net = inner
+
+        def forward(self, x):
+            return self.net(x)
+
+    torch.manual_seed(0)
+    m = _TorchCraft().eval()
+    plain = convert_craft_state_dict(
+        {k: v.numpy() for k, v in m.state_dict().items()},
+        CraftConfig(stage_channels=(8, 16, 16, 16, 16), fc_channels=16,
+                    up_channels=((16, 16), (16, 16), (16, 8), (8, 8)),
+                    head_channels=(8, 8, 8, 8)))
+    wrapped_sd = {k: v.numpy() for k, v in Wrapper(m).state_dict().items()}
+    assert all(k.startswith("net.") for k in wrapped_sd)
+    wrapped = convert_craft_state_dict(
+        wrapped_sd,
+        CraftConfig(stage_channels=(8, 16, 16, 16, 16), fc_channels=16,
+                    up_channels=((16, 16), (16, 16), (16, 8), (8, 8)),
+                    head_channels=(8, 8, 8, 8)))
+    jax.tree.map(np.testing.assert_array_equal, plain, wrapped)
+
+
+def test_parseq_conversion_strips_wrapper_prefix(rng):
+    """Same for PARSEQ: a doubly-wrapped state dict ('system.model.encoder...')
+    converts identically to the bare one."""
+    sd = _synthetic_parseq_sd(rng, CFG)
+    plain = convert_parseq_state_dict(sd, CFG)
+    wrapped = convert_parseq_state_dict(
+        {f"system.model.{k}": v for k, v in sd.items()}, CFG)
+    jax.tree.map(np.testing.assert_array_equal, plain, wrapped)
+
+
+def test_missing_key_lists_nearest_actual_keys(rng):
+    """A genuinely absent key must raise with candidate real keys in the
+    message — diagnosable without a debugger."""
+    sd = _synthetic_parseq_sd(rng, CFG)
+    renamed = {k.replace("encoder.norm.", "encoder.final_norm."): v
+               for k, v in sd.items()}
+    with pytest.raises(KeyError) as ei:
+        convert_parseq_state_dict(renamed, CFG)
+    msg = str(ei.value)
+    assert "encoder.norm.weight" in msg  # the key it looked for
+    assert "final_norm" in msg           # the nearest real key, suggested

@@ -239,6 +239,27 @@ def test_shard_mid_training_preserves_optimizer_state():
     np.testing.assert_allclose(
         float(m2_plain["loss"]), float(m2_sharded["loss"]), rtol=2e-4)
 
+    # The resharded Adam moments must carry their parameter's tp layout —
+    # NOT a silently replicated fallback (the memory blowup shard_train_state
+    # exists to avoid). q/w shards P(None, "tp"): per-device second dim is
+    # 1/2 of full under tp=2.
+    from jax.sharding import NamedSharding
+
+    def _find_qw_moment(tree):
+        # optax.chain(clip, adamw) state; walk to an adamw ScaleByAdamState.
+        for leaf_state in jax.tree.leaves(
+                tree, is_leaf=lambda x: hasattr(x, "mu")):
+            if hasattr(leaf_state, "mu"):
+                return leaf_state.mu["parseq"]["enc"][0]["attn"]["q"]["w"]
+        raise AssertionError("no adam state found")
+
+    mu_qw = _find_qw_moment(s1_sharded.opt_state)
+    assert isinstance(mu_qw.sharding, NamedSharding)
+    full = mu_qw.shape
+    shard_shape = mu_qw.sharding.shard_shape(full)
+    assert shard_shape == (full[0], full[1] // 2), (
+        f"q/w moment not tp-sharded: {shard_shape} of {full}")
+
 
 def test_run_stream_propagates_producer_errors():
     """A bad batch in the stream raises instead of deadlocking."""

@@ -85,16 +85,48 @@ class OcrEngine:
         # reference defaults. Without this, loading weights of a non-default
         # architecture would build a mismatched forward and fail deep inside
         # the model.
-        stored_craft = stored_parseq = None
+        stored_craft = stored_parseq = stored_charset = None
         if weights_dir:
             from tuatara_tpu.utils import weights as W
 
-            stored_craft, stored_parseq = W.load_configs(weights_dir)
+            stored_craft, stored_parseq, stored_charset = W.load_configs(weights_dir)
         self.craft_config = craft_config or stored_craft or CraftConfig()
         self.parseq_config = parseq_config or stored_parseq or ParseqConfig(
             max_label_length=config.max_label_length
         )
-        self.tokenizer = Tokenizer(reference_charset=config.reference_charset)
+        # Tokenizer table resolution: explicit OcrConfig.charset > the
+        # charset persisted next to the weights (save_weights_dir) > the
+        # reference_charset flag default. Serving a retrained recognizer
+        # (e.g. EXTENDED_CHARSET with space — the reference's own TODO,
+        # README.md:42) only works when the decode table matches the head.
+        charset = config.charset or stored_charset
+        if charset is not None:
+            self.tokenizer = Tokenizer(charset=charset)
+        else:
+            self.tokenizer = Tokenizer(reference_charset=config.reference_charset)
+        # The recognizer head has parseq_config.num_tokens classes; every
+        # emitted id indexes the tokenizer's itos table positionally. A size
+        # mismatch means systematic misdecoding (shifted space/BOS/PAD slots)
+        # or itos index errors — fail at construction, not per transcript.
+        # Exception: bug-compat mode (reference_charset=True, no explicit
+        # table) deliberately pairs the reference's oversized 95-char table
+        # with a standard 94-class head; that off-by-one IS the documented
+        # reference behavior (SURVEY quirk 8), so only require that the
+        # table covers the head.
+        n_tokens = self.parseq_config.num_tokens
+        bug_compat = charset is None and config.reference_charset
+        ok = (self.tokenizer.vocab_size >= n_tokens) if bug_compat \
+            else (self.tokenizer.vocab_size == n_tokens)
+        if not ok:
+            raise ValueError(
+                f"tokenizer/recognizer mismatch: the recognizer head emits "
+                f"{n_tokens} classes (ParseqConfig.charset_size="
+                f"{self.parseq_config.charset_size}) but the resolved decode "
+                f"table has {self.tokenizer.vocab_size} entries "
+                f"({len(self.tokenizer.charset)} chars). Pass "
+                f"OcrConfig(charset=...) matching the training charset, or "
+                f"persist it via save_weights_dir(..., charset=...)"
+            )
 
         if weights_dir:
             craft_p, parseq_p = W.load_weights_dir(weights_dir)
@@ -440,14 +472,16 @@ class OcrEngine:
         round-trip on remote backends — rank normalization happens inside
         the jitted detect program instead).
 
-        A 3-D array whose last dim is 3 is read as one RGB page; any other
-        3-D array is a grayscale batch (a gray BATCH with page width 3 is
-        pathological — pass [B, H, W, 1] to disambiguate)."""
+        A 3-D array whose last dim is 3 is read as one RGB page and one
+        whose last dim is 1 as one grayscale page [H, W, 1] (so
+        `run_pages(img[..., None]) == run_pages(img)` for a gray page); any
+        other 3-D array is a grayscale batch (a gray BATCH with page width
+        1 or 3 is pathological — pass [B, H, W, 1] to disambiguate)."""
         if not isinstance(images, jax.Array):
             images = np.asarray(images)
         if images.ndim == 2:
             images = images[None] if isinstance(images, np.ndarray) else images[None, ...]
-        if images.ndim == 3 and images.shape[-1] == 3:
+        if images.ndim == 3 and images.shape[-1] in (1, 3):
             images = images[None]
         if images.ndim == 3:
             b, h, w = images.shape
@@ -465,7 +499,7 @@ class OcrEngine:
     def _fresh_stats() -> Dict[str, float]:
         return {"pages": 0, "batches": 0, "boxes": 0,
                 "detect_s": 0.0, "recognize_s": 0.0, "decode_s": 0.0,
-                "spec_hits": 0, "spec_misses": 0}
+                "spec_hits": 0, "spec_misses": 0, "spec_wasted": 0}
 
     def reset_stats(self) -> None:
         """Zero the cumulative serving counters (`engine.stats`)."""
@@ -480,8 +514,13 @@ class OcrEngine:
         for k in ("detect_s", "recognize_s", "decode_s"):
             s[k] += t.get(k, 0.0)
         if t.get("speculative"):
-            # A speculative dispatch that needed no fallback pass is a hit.
-            s["spec_misses" if t.get("spec_fallback") else "spec_hits"] += 1
+            # A speculative dispatch that needed no fallback pass is a hit;
+            # one whose batch turned out to have zero boxes did throwaway
+            # work but triggered no fallback either — its own bucket.
+            if t.get("boxes", 0) == 0:
+                s["spec_wasted"] += 1
+            else:
+                s["spec_misses" if t.get("spec_fallback") else "spec_hits"] += 1
 
     @staticmethod
     def _check_dtype(images) -> None:
@@ -588,6 +627,10 @@ class OcrEngine:
             self._spec_bucket, self._spec_batch = None, None
             self.last_timings = {
                 "detect_s": t1 - t0, "recognize_s": 0.0, "decode_s": 0.0,
+                # A speculative pass dispatched for a zero-box batch was
+                # wasted work; record it so engine.stats sees it
+                # (spec_wasted) instead of dropping it from the counters.
+                "speculative": rec is not None, "spec_fallback": False,
                 "boxes": 0,
             }
             self._account(b_real)

@@ -71,6 +71,13 @@ class OcrConfig:
     # 94-char PARSEQ charset; set `reference_charset=True` for bug-compatible
     # decoding (alphanumerics are identical either way).
     reference_charset: bool = False
+    # Explicit character table for the recognizer (e.g.
+    # tokenizer.EXTENDED_CHARSET for a space-aware retrain — the reference's
+    # own TODO, README.md:42). None = use the charset persisted next to the
+    # weights (save_weights_dir stores it), falling back to the
+    # reference_charset flag above. The engine validates at construction
+    # that the resolved table matches the recognizer head's class count.
+    charset: "str | None" = None
 
     # ---- Box fitting ----
     # "axis" reproduces the reference's public output (axis-aligned min/max

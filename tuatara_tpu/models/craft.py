@@ -246,9 +246,11 @@ def _upsample_to(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
     Runs in the activation dtype: upcasting to fp32 here doubles the HBM
     traffic of the decoder's largest tensors (the 2x upsample feeding
-    upconv4 moves ~200 MB/batch at serving shapes) for no accuracy the
-    bf16 trunk hasn't already forfeited — the 2x bilinear weights (0.25,
-    0.75) are exact in bf16."""
+    upconv4 moves ~200 MB/batch at serving shapes). The 2x bilinear
+    weights (0.25, 0.75) are exact in bf16, but the multiply-accumulate on
+    bf16 activations still rounds (~1 ulp per output) — same-class error
+    as the bf16 trunk's own rounding, not exact (see PARITY.md; the fp32
+    compute_dtype path remains the bit-stable surface)."""
     return jax.image.resize(x, (x.shape[0], h, w, x.shape[3]), method="bilinear")
 
 

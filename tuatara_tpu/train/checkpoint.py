@@ -25,16 +25,19 @@ META_FILE = "meta.npz"
 
 
 def save_checkpoint(ckpt_dir: str, state: TrainState,
-                    craft_config=None, parseq_config=None) -> None:
-    """Persist a train state; pass the model configs so the checkpoint dir is
-    directly servable as an OcrEngine weights_dir (the engine reads the
-    stored architecture from config.json)."""
+                    craft_config=None, parseq_config=None,
+                    charset: "str | None" = None) -> None:
+    """Persist a train state; pass the model configs (and, for a
+    non-reference charset retrain, the charset string) so the checkpoint dir
+    is directly servable as an OcrEngine weights_dir (the engine reads the
+    stored architecture + decode table from config.json)."""
     os.makedirs(ckpt_dir, exist_ok=True)
     host = jax.device_get(state)
     from tuatara_tpu.utils.weights import save_weights_dir
 
     save_weights_dir(ckpt_dir, host.craft_params, host.parseq_params,
-                     craft_config=craft_config, parseq_config=parseq_config)
+                     craft_config=craft_config, parseq_config=parseq_config,
+                     charset=charset)
     # Optimizer state is an optax pytree (tuples/namedtuples/dicts); persist
     # leaves positionally against the treedef of a reference state.
     opt_leaves = jax.tree.leaves(host.opt_state)

@@ -161,33 +161,37 @@ def shard_train_state(
     mesh: Mesh, state: TrainState, tx: optax.GradientTransformation
 ) -> TrainState:
     """Commit the train state to the mesh: CRAFT replicated, PARSEQ
-    tensor-parallel over 'tp', optimizer state re-derived so Adam moments
-    inherit their parameter's sharding."""
+    tensor-parallel over 'tp', optimizer state resharded so Adam moments
+    carry their parameter's layout.
+
+    The EXISTING optimizer state is resharded in place (moments of a
+    resumed run must survive) and no throwaway optimizer state is ever
+    allocated. Moment shardings are derived STRUCTURALLY via
+    optax.tree_map_params — each param-shaped optimizer leaf gets its
+    parameter's sharding by tree position. (An earlier version compiled
+    tx.init and read output_shardings; that silently replicated every
+    moment, because tx.init's outputs are zeros_like — value-independent of
+    the inputs, so GSPMD has no sharding to propagate — which is exactly
+    the tp-memory blowup this function exists to avoid.)"""
 
     def ns(spec):
         return NamedSharding(mesh, spec)
 
-    craft_p = jax.device_put(state.craft_params,
-                             jax.tree.map(lambda _: ns(P()), state.craft_params))
-    parseq_p = jax.device_put(
-        state.parseq_params,
-        jax.tree.map(ns, parseq_param_pspecs(state.parseq_params),
-                     is_leaf=lambda x: isinstance(x, P)),
+    craft_shard = jax.tree.map(lambda _: ns(P()), state.craft_params)
+    parseq_shard = jax.tree.map(
+        ns, parseq_param_pspecs(state.parseq_params),
+        is_leaf=lambda x: isinstance(x, P))
+    craft_p = jax.device_put(state.craft_params, craft_shard)
+    parseq_p = jax.device_put(state.parseq_params, parseq_shard)
+    param_shardings = {"craft": craft_shard, "parseq": parseq_shard}
+    opt_shardings = optax.tree_map_params(
+        tx,
+        lambda _leaf, s: s,
+        state.opt_state,
+        param_shardings,
+        # Non-param leaves (Adam's step count, clip state) replicate.
+        transform_non_params=lambda _leaf: ns(P()),
     )
-    # Reshard the EXISTING optimizer state (Adam moments of a resumed run
-    # must survive). Target shardings come from COMPILING tx.init on the
-    # committed params — GSPMD propagates each parameter's sharding to its
-    # moments, and compile-only means no throwaway optimizer state is ever
-    # allocated (a full tx.init would transiently double optimizer memory,
-    # which can OOM a resume that otherwise fits).
-    compiled = jax.jit(tx.init).lower({"craft": craft_p, "parseq": parseq_p}).compile()
-
-    def leaf_sharding(s):
-        # Leaves not derived from params (e.g. Adam's step count) may come
-        # back single-device; those replicate over the mesh.
-        return s if isinstance(s, NamedSharding) else ns(P())
-
-    opt_shardings = jax.tree.map(leaf_sharding, compiled.output_shardings)
     opt_state = jax.device_put(state.opt_state, opt_shardings)
     return TrainState(jax.device_put(state.step, ns(P())), craft_p, parseq_p, opt_state)
 

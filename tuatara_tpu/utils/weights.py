@@ -81,14 +81,21 @@ def save_weights_dir(
     parseq_params: Any,
     craft_config: Any = None,
     parseq_config: Any = None,
+    charset: "str | None" = None,
 ) -> None:
     """Persist model weights (+ their architecture configs when given, so a
     loading engine can instantiate the matching forward structure without
-    the caller re-specifying it)."""
+    the caller re-specifying it).
+
+    `charset`: the character table the recognizer was trained with (e.g.
+    tokenizer.EXTENDED_CHARSET for a space-aware retrain). Persisting it is
+    what lets a fresh OcrEngine(weights_dir=...) decode with the RIGHT table
+    instead of assuming the reference 94-char layout — charset_size alone is
+    ambiguous (95 chars could be reference-bug-compat OR standard+space)."""
     os.makedirs(weights_dir, exist_ok=True)
     save_params(os.path.join(weights_dir, CRAFT_FILE), craft_params)
     save_params(os.path.join(weights_dir, PARSEQ_FILE), parseq_params)
-    if craft_config is not None or parseq_config is not None:
+    if craft_config is not None or parseq_config is not None or charset is not None:
         import dataclasses
         import json
 
@@ -97,6 +104,8 @@ def save_weights_dir(
             meta["craft"] = dataclasses.asdict(craft_config)
         if parseq_config is not None:
             meta["parseq"] = dataclasses.asdict(parseq_config)
+        if charset is not None:
+            meta["charset"] = charset
         with open(os.path.join(weights_dir, CONFIG_FILE), "w") as f:
             json.dump(meta, f, indent=1)
 
@@ -117,12 +126,13 @@ def _listify(v):
 
 
 def load_configs(weights_dir: str):
-    """(CraftConfig | None, ParseqConfig | None) stored next to the weights."""
+    """(CraftConfig | None, ParseqConfig | None, charset str | None) stored
+    next to the weights."""
     import json
 
     path = os.path.join(weights_dir, CONFIG_FILE)
     if not os.path.isfile(path):
-        return None, None
+        return None, None, None
     from tuatara_tpu.config import CraftConfig, ParseqConfig
 
     with open(path) as f:
@@ -132,4 +142,4 @@ def load_configs(weights_dir: str):
         craft = CraftConfig(**{k: _listify(v) for k, v in meta["craft"].items()})
     if "parseq" in meta:
         parseq = ParseqConfig(**{k: _listify(v) for k, v in meta["parseq"].items()})
-    return craft, parseq
+    return craft, parseq, meta.get("charset")
