@@ -105,6 +105,9 @@ def main() -> int:
             pages_per_sec, all_results = v, out
     extras["e2e_sweep"] = sweep
     boxes = sum(len(r) for batch in all_results for r in batch) // ITERS
+    # Snapshot now: later sections (mixed/beam/quantized) overwrite
+    # engine.last_timings with their own final batch.
+    headline_timings = dict(engine.last_timings)
 
     # --- compute-only pages/sec (device-resident input; what non-tunnel
     # hardware with PCIe/DMA ingest would see end-to-end). Same pipelined
@@ -186,7 +189,7 @@ def main() -> int:
         "stream_iters": ITERS,
         "device": str(jax.devices()[0]),
         "timings_last": {k: round(v, 4) if isinstance(v, float) else v
-                         for k, v in engine.last_timings.items()},
+                         for k, v in headline_timings.items()},
         **extras,
     }))
     return 0

@@ -17,7 +17,10 @@ Three pinned variants:
   bf16       the default serving path.
   quantized  the int8 trunk/encoder variant (quantized_serving=True).
 
-Each pins boxes, transcripts, and raw pre-EOS token ids.
+Each pins boxes, transcripts, raw pre-EOS token ids (exact), and a CRAFT
+score probe on a sample grid (tolerance-pinned: XLA CPU convs at these
+widths are run-to-run nondeterministic at the fp32-reduction level — see
+test_golden_fullwidth._check).
 
 The canvas is reduced (256) to keep CPU compile/run cost testable; channel
 WIDTHS — what this fixture exists to cover — are unchanged by canvas size.
@@ -81,6 +84,27 @@ def run_with_ids(engine, img):
     return results, pinned
 
 
+def heatmap_probe(engine, img):
+    """Pinned CRAFT score values on a sample grid — random weights produce
+    few/degenerate boxes, so box pins alone are insensitive; the probe makes
+    the fixture catch ANY numerics change in the full-width trunk/decoder/
+    packed head (the scores are the graph's direct output). Mirrors the
+    serving program's per-page math (api.py one_page)."""
+    import jax.numpy as jnp
+
+    from tuatara_tpu.models.craft import craft_forward
+    from tuatara_tpu.ops.resize import detect_canvas
+
+    cfg = engine.config
+    canvas, _, _ = detect_canvas(jnp.asarray(img), cfg)  # [1, H, W, C]
+    craft_in = canvas[..., ::-1] if cfg.channel_mode == "python" else canvas
+    scores, _ = craft_forward(
+        engine.craft_params, craft_in, engine.craft_config,
+        compute_dtype=jnp.dtype(cfg.compute_dtype))
+    grid = scores[0, ::16, ::16, :]  # 8x8-ish sample of the 128^2 heatmap
+    return [float(v) for v in grid.reshape(-1)]
+
+
 def variant(name, cfg, img):
     from tuatara_tpu.api import OcrEngine
 
@@ -92,6 +116,7 @@ def variant(name, cfg, img):
         "boxes": [[float(v) for v in r["bbox"]] for r in results],
         "texts": [r["text"] for r in results],
         "ids": ids,
+        "heatmap_probe": heatmap_probe(engine, img),
     }
 
 

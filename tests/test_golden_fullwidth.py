@@ -15,7 +15,13 @@ import os
 import numpy as np
 import pytest
 
-from gen_fullwidth_fixture import OUT, SEED, base_config, run_with_ids
+from gen_fullwidth_fixture import (
+    OUT,
+    SEED,
+    base_config,
+    heatmap_probe,
+    run_with_ids,
+)
 
 pytestmark = pytest.mark.slow
 
@@ -35,7 +41,7 @@ def funsd():
     return load_image("/root/reference/images/funsd_0001129658.png")
 
 
-def _check(variant_cfg, pinned, img):
+def _check(variant_cfg, pinned, img, probe_atol, probe_rtol):
     from tuatara_tpu.api import OcrEngine
 
     engine = OcrEngine(variant_cfg, seed=SEED)
@@ -44,17 +50,36 @@ def _check(variant_cfg, pinned, img):
     assert got_boxes == pinned["boxes"]
     assert [r["text"] for r in results] == pinned["texts"]
     assert ids == pinned["ids"]
+    # The probe is tolerance-pinned, not exact: XLA CPU convs at these
+    # widths are run-to-run nondeterministic (threaded fp32 reduction
+    # order; measured ~1e-5 abs in f32 and ~0.11 abs in bf16 between two
+    # runs of IDENTICAL code). A real numerics regression in the
+    # full-width graph (packed-weight expansion, fc6 dilation, int8
+    # transform) shifts scores at O(1) — far beyond these bands.
+    np.testing.assert_allclose(
+        np.asarray(probe := heatmap_probe(engine, img)),
+        np.asarray(pinned["heatmap_probe"]),
+        atol=probe_atol, rtol=probe_rtol)
+    return probe
+
+
+def test_fullwidth_probe_sanity(fixture):
+    # The probe must carry real signal, not constants (guards against a
+    # future degenerate regeneration).
+    p = np.asarray(fixture["f32"]["heatmap_probe"])
+    assert p.std() > 0.1 and len(p) == 128
 
 
 def test_fullwidth_f32_pinned(fixture, funsd):
     cfg = dataclasses.replace(base_config(), compute_dtype="float32")
-    _check(cfg, fixture["f32"], funsd)
+    _check(cfg, fixture["f32"], funsd, probe_atol=1e-4, probe_rtol=1e-3)
 
 
 def test_fullwidth_bf16_pinned(fixture, funsd):
-    _check(base_config(), fixture["bf16"], funsd)
+    _check(base_config(), fixture["bf16"], funsd,
+           probe_atol=0.25, probe_rtol=0.1)
 
 
 def test_fullwidth_quantized_pinned(fixture, funsd):
     cfg = dataclasses.replace(base_config(), quantized_serving=True)
-    _check(cfg, fixture["quantized"], funsd)
+    _check(cfg, fixture["quantized"], funsd, probe_atol=0.25, probe_rtol=0.1)

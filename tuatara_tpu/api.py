@@ -194,23 +194,24 @@ class OcrEngine:
 
         dtype = jnp.dtype(cfg.compute_dtype)
 
-        def one_page(params, image):
+        def prep(image):
             # Grayscale pages arrive as [H, W, 1]: H2D carries 3x fewer
-            # bytes, the canvas is built single-channel (3x less pad/cast
-            # traffic), and the channel broadcast to RGB happens LAST so it
-            # fuses into the first conv's input. Results are bit-exact vs an
-            # RGB transfer: on an R=G=B image the BGR flip is the identity,
-            # so it is skipped outright (it cost ~6 ms/batch as a full-res
-            # fp32 reverse at serving shapes).
+            # bytes and the canvas is built single-channel (3x less pad/cast
+            # traffic); the channel handling happens inside craft_forward
+            # (broadcast fused into conv1_1, or a summed-weight single-
+            # channel first conv on the fused-stage1 kernel path). Results
+            # are bit-exact vs an RGB transfer up to bf16 rounding: on an
+            # R=G=B image the BGR flip is the identity, so it is skipped
+            # outright (it cost ~6 ms/batch as a full-res fp32 reverse at
+            # serving shapes).
             gray = image.shape[-1] == 1
             canvas, _, _ = detect_canvas(image, cfg)
-            if gray:
-                canvas = jnp.broadcast_to(canvas, canvas.shape[:-1] + (3,))
-                craft_in = canvas
-            else:
-                craft_in = canvas[..., ::-1] if cfg.channel_mode == "python" else canvas
-            scores, _ = craft_forward(params, craft_in, ccfg, compute_dtype=dtype)
-            out = extract_boxes(scores[0, :, :, 0], scores[0, :, :, 1],
+            if not gray and cfg.channel_mode == "python":
+                canvas = canvas[..., ::-1]
+            return canvas[0]
+
+        def postproc(score_map):
+            out = extract_boxes(score_map[:, :, 0], score_map[:, :, 1],
                                 content_mask, cfg)
             if cfg.box_mode == "rotated":
                 # Rectification path (the improvement the reference TODO'd:
@@ -242,7 +243,13 @@ class OcrEngine:
         def detect(params, images):
             if images.ndim == 3:  # [B, H, W] grayscale -> [B, H, W, 1]
                 images = images[..., None]
-            return jax.vmap(lambda im: one_page(params, im))(images)
+            # CRAFT runs on the REAL batch (not per-page inside the vmap):
+            # the fused stage-1 Pallas kernel pipelines over (batch x row
+            # tiles), and XLA's conv tiling prefers the true batch dim too.
+            canvases = jax.vmap(prep)(images)
+            scores, _ = craft_forward(params, canvases, ccfg,
+                                      compute_dtype=dtype)
+            return jax.vmap(postproc)(scores)
 
         detect = self._jit(detect)
         self._detect_fns[key] = detect
@@ -287,8 +294,11 @@ class OcrEngine:
             elif cfg.channel_mode == "python":
                 x = x[..., ::-1]
             tiles, coords = extract_tiles(x, tile, cfg.tile_overlap, cfg.ratio_net)
+            # allow_fused=False: this runs under the per-page vmap, which
+            # the fused stage-1 kernel's manual-DMA grid does not batch.
             scores, _ = craft_forward(params, tiles, ccfg,
-                                      compute_dtype=jnp.dtype(cfg.compute_dtype))
+                                      compute_dtype=jnp.dtype(cfg.compute_dtype),
+                                      allow_fused=False)
             stitched = stitch_heatmaps(scores, coords, hm_h, hm_w, cfg.ratio_net)
             out = extract_boxes(stitched[:, :, 0], stitched[:, :, 1],
                                 content_mask, cfg)

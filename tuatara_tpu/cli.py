@@ -43,6 +43,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quantized", action="store_true",
                    help="int8 detector trunk (~2x trunk MXU rate; not "
                         "bit-parity with the bf16 path — see config.py)")
+    p.add_argument("--charset", choices=["standard", "extended", "reference"],
+                   default=None,
+                   help="recognizer decode table: standard 94-char PARSEQ, "
+                        "extended (+space, for a space-aware retrain), or "
+                        "the reference's bug-compatible 95-char table; "
+                        "default = the charset stored next to the weights, "
+                        "else standard")
     p.add_argument("--lines", action="store_true",
                    help="group words into line-level hierarchy "
                         "(one JSON object per line, with member words)")
@@ -78,6 +85,15 @@ def main(argv=None) -> int:
         }.items()
         if v is not None
     }
+    if args.charset:
+        from tuatara_tpu.tokenizer import EXTENDED_CHARSET, STANDARD_CHARSET
+
+        if args.charset == "extended":
+            overrides["charset"] = EXTENDED_CHARSET
+        elif args.charset == "standard":
+            overrides["charset"] = STANDARD_CHARSET
+        else:
+            overrides["reference_charset"] = True
     config = dataclasses.replace(DEFAULT_CONFIG, **overrides)
 
     image = load_image(args.image)

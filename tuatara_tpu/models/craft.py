@@ -232,6 +232,40 @@ def quantize_craft_trunk(params: Params) -> Params:
     return q
 
 
+# Fused stage-1 Pallas kernel gate: "auto" uses it on TPU for the folded
+# bf16 serving path; "on" forces it anywhere (interpret mode off-TPU — tests
+# use this to run the fused path on CPU); "off" disables.
+#
+# DEFAULT OFF — measured a net LOSS on v5e at serving shapes (batch-16,
+# 1024x768): full CRAFT forward 109.1 ms fused vs 99.1 ms plain across four
+# kernel iterations (staged im2col 116.4, accumulated-dot 116.4, RT=64 +
+# double-buffered DMA 109.1). The conv+pool fusion saves pool1's HBM
+# round-trip but loses more to the packed input's pad/pack materialization
+# and Mosaic's relayouts of shifted matmul operands. Kept in-tree (correct,
+# interpret-tested) as the shapes/hardware may differ elsewhere; see
+# docs/PERFORMANCE.md "stage-1 fusion" dead-end table.
+FUSED_STAGE1 = "off"
+
+
+def _fused_stage1_ok(params: Params, x: jnp.ndarray, compute_dtype,
+                     train: bool) -> bool:
+    if FUSED_STAGE1 == "off" or train:
+        return False
+    blk11 = params["vgg"]["conv1_1"]
+    blk12 = params["vgg"]["conv1_2"]
+    ok = (
+        "bn" not in blk11  # folded (serving) tree
+        and "w" in blk11["conv"]  # not int8/u8-quantized
+        and "w" in blk12["conv"]
+        and jnp.dtype(compute_dtype) == jnp.bfloat16
+        and x.shape[1] % 16 == 0
+        and x.shape[2] % 2 == 0
+    )
+    if FUSED_STAGE1 == "on":
+        return ok
+    return ok and jax.default_backend() == "tpu"
+
+
 def _conv_or_q(cp: Params, h: jnp.ndarray, compute_dtype,
                dilation: int = 1) -> jnp.ndarray:
     if "sumw" in cp:  # zero-point u8 first conv (see conv2d_q_u8; unused
@@ -259,19 +293,26 @@ def craft_forward(
     x: jnp.ndarray,
     cfg: CraftConfig = CraftConfig(),
     compute_dtype=jnp.bfloat16,
+    allow_fused: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """CRAFT forward pass (inference-mode BN on running statistics).
 
     Args:
       x: [B, H, W, 3] float image in [0, 1] (the reference feeds /255 only,
-         no mean/std normalization — tuatara.cpp:363-370).
+         no mean/std normalization — tuatara.cpp:363-370); [B, H, W, 1]
+         grayscale is accepted (channel-summed first conv / broadcast).
+      allow_fused: permit the fused stage-1 Pallas kernel (see FUSED_STAGE1).
+         Callers that trace this function under vmap (the tiled-detection
+         path) must pass False — the kernel's manual-DMA grid does not
+         batch.
 
     Returns:
       (scores, feature): scores [B, H/2, W/2, 2] fp32 (region, affinity),
       feature [B, H/2, W/2, 32] — mirroring the reference model's output
       tuple of which the pipeline consumes element 0 (tuatara.cpp:382-384).
     """
-    scores, feat, _ = _craft_apply(params, x, cfg, compute_dtype, train=False)
+    scores, feat, _ = _craft_apply(params, x, cfg, compute_dtype, train=False,
+                                   allow_fused=allow_fused)
     return scores, feat
 
 
@@ -297,6 +338,7 @@ def _craft_apply(
     compute_dtype,
     train: bool,
     momentum: float = 0.1,
+    allow_fused: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Params]:
     eps = cfg.bn_eps
     updated: Dict[Tuple[str, str, str], Params] = {}
@@ -323,8 +365,38 @@ def _craft_apply(
 
     skips = {}
     h = x
-    for name, _, _, pool_before, skip in _vgg_plan(cfg):
-        if pool_before:
+    plan = _vgg_plan(cfg)
+    start = 0
+    fused_pool_done = False
+    fused = allow_fused and _fused_stage1_ok(params, x, compute_dtype, train)
+    # Grayscale canvas [B, H, W, 1] against an RGB-trained conv1_1:
+    # broadcast to the conv's cin so XLA fuses it into the conv input.
+    gray = h.shape[-1] == 1
+    c11blk = params["vgg"]["conv1_1"]["conv"]
+    cin11 = c11blk["w"].shape[2] if "w" in c11blk else 3
+    if gray and cin11 != 1:
+        h = jnp.broadcast_to(h, h.shape[:-1] + (cin11,))
+    if fused:
+        # conv1_1 stays an XLA conv (input prep fuses into it; at cin=3 the
+        # Pallas path has no advantage), then conv1_2 + ReLU + pool1 run as
+        # ONE VMEM-resident Pallas pass (ops/pallas/stage1.py) — stage 1
+        # has no skip capture, so the fusion is output-equivalent
+        # (bf16-rounding class).
+        from tuatara_tpu.ops.pallas.stage1 import fused_conv_pool
+
+        c12 = params["vgg"]["conv1_2"]["conv"]
+        h = jax.nn.relu(_conv_or_q(c11blk, h, compute_dtype))
+        zeros2 = jnp.zeros((c12["w"].shape[3],), jnp.float32)
+        h = fused_conv_pool(
+            h, c12["w"], c12.get("b", zeros2),
+            interpret=jax.default_backend() != "tpu",
+        )
+        start = 2
+        fused_pool_done = True  # pool1 (conv2_1's pool_before) already applied
+    for idx, (name, _, _, pool_before, skip) in enumerate(plan):
+        if idx < start:
+            continue
+        if pool_before and not (fused_pool_done and idx == start):
             h = L.max_pool(h, 2, 2)
         h = bn("vgg", name, "bn",
                _conv_or_q(params["vgg"][name]["conv"], h, compute_dtype))
