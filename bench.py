@@ -133,6 +133,17 @@ def main() -> int:
     jax.block_until_ready(outs)
     ms_per_crop = (time.perf_counter() - t0) / 5 / 256 * 1000
 
+    # --- NAR decode mode (single-pass + cloze refinement; PARSEQ paper's
+    # non-AR mode) — the low-latency recognizer variant. ---
+    nar_eng = OcrEngine(dataclasses.replace(DEFAULT_CONFIG, decode_mode="nar"))
+    nrec = nar_eng._recognize_fn(256)
+    nrec(nar_eng.parseq_params, crops)[0].block_until_ready()
+    t0 = time.perf_counter()
+    outs = [nrec(nar_eng.parseq_params, crops)[0] for _ in range(5)]
+    jax.block_until_ready(outs)
+    extras["ms_per_crop_parseq_nar"] = round(
+        (time.perf_counter() - t0) / 5 / 256 * 1000, 4)
+
     # --- BASELINE.md config (2): resume single-image latency path ---
     resume_img = load_image(f"{IMAGES}/resume_example.png")
     engine.run(resume_img)

@@ -98,6 +98,20 @@ def test_beam_decode_mode(rng):
 
 
 @pytest.mark.slow
+def test_nar_decode_mode(rng):
+    """Single-pass NAR recognition through the full engine pipeline."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY_OCR, decode_mode="nar")
+    eng = OcrEngine(cfg, TINY_CRAFT, TINY_PARSEQ, seed=0)
+    out = eng.run(_page(rng))
+    for item in out:
+        assert 0.0 <= item["confidence"] <= 1.0
+        assert isinstance(item["text"], str)
+        assert len(item["bbox"]) == 4
+
+
+@pytest.mark.slow
 def test_dense_page_fills_buckets(rng):
     """Aggressive thresholds on noise produce many boxes, exercising larger
     recognition buckets and the multi-page slab assembly at high counts."""
@@ -150,10 +164,12 @@ def test_warmup_compiles_serving_programs(engine):
     assert (1, 64, 80, 3) in engine._detect_fns
 
 
-def test_input_validation():
+def test_input_validation(engine):
     with pytest.raises(ValueError):
         image_to_data(np.zeros((4, 4), np.uint8))  # ndim != 3
-    eng = OcrEngine(TINY_OCR, TINY_CRAFT, TINY_PARSEQ)
+    # Validation raises before any dispatch, so the shared engine is safe
+    # (a fresh OcrEngine costs ~20 s of fold/init compile on CPU).
+    eng = engine
     with pytest.raises(ValueError):
         eng.run_pages(np.zeros((0, 4, 4, 3), np.uint8))
 

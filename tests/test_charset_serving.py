@@ -77,6 +77,7 @@ def ext_weights_dir(tmp_path_factory):
     return str(d), data
 
 
+@pytest.mark.slow
 def test_engine_derives_tokenizer_from_stored_charset(ext_weights_dir):
     d, _ = ext_weights_dir
     eng = OcrEngine(OcrConfig(max_label_length=7), weights_dir=d)
@@ -85,6 +86,7 @@ def test_engine_derives_tokenizer_from_stored_charset(ext_weights_dir):
     assert " " in eng.tokenizer.stoi
 
 
+@pytest.mark.slow
 def test_extended_charset_transcripts_through_serving_path(ext_weights_dir):
     """The engine's OWN crop+recognize program + its OWN tokenizer produce
     the space-containing transcripts.
@@ -123,6 +125,7 @@ def test_extended_charset_transcripts_through_serving_path(ext_weights_dir):
     assert all(" " in t for t in texts)
 
 
+@pytest.mark.slow
 def test_explicit_config_charset_overrides(ext_weights_dir):
     d, _ = ext_weights_dir
     eng = OcrEngine(OcrConfig(max_label_length=7, charset=EXTENDED_CHARSET),
@@ -165,3 +168,20 @@ def test_reference_bugcompat_mode_still_constructs():
                                                enc_heads=4, dec_heads=4,
                                                max_label_length=7))
     assert eng.tokenizer.vocab_size == 98
+
+
+@pytest.mark.slow
+def test_nar_decode_mode_on_trained_model(ext_weights_dir):
+    """decode_mode='nar' (single-pass + cloze refinement) through the
+    engine's recognition program reads the overfit model's own training
+    crops — the PLM objective's permutations cover the no-context cloze,
+    so NAR accuracy tracks AR on a properly trained model."""
+    d, data = ext_weights_dir
+    eng = OcrEngine(OcrConfig(max_label_length=7, decode_mode="nar"),
+                    weights_dir=d)
+    n = len(SPACE_TEXTS)
+    ids, conf = eng._recognize_fn(n)(eng.parseq_params,
+                                     jnp.asarray(data["crops"]))
+    texts = eng.tokenizer.decode_ids(np.asarray(ids))
+    hits = sum(t == w for t, w in zip(texts, SPACE_TEXTS))
+    assert hits >= n - 1, texts

@@ -240,7 +240,8 @@ def test_masked_extraction_equals_oracle_on_cropped_content(seed):
     assert got == ref, f"\nours: {got}\nref:  {ref}"
 
 
-@pytest.mark.parametrize("min_area", [2, 5, 10])
+@pytest.mark.parametrize("min_area", [
+    2, 5, pytest.param(10, marks=pytest.mark.slow)])
 def test_windowed_area_filter_exact(min_area, rng):
     """area_ok (windowed same-label count) == true per-component area test,
     on random blobs AND adversarial thin snakes/L-shapes that maximize path

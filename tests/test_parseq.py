@@ -186,3 +186,31 @@ def test_batch_invariance(setup):
     )(params, memory[1:2])
     np.testing.assert_allclose(np.asarray(logits[1]), np.asarray(solo[0]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_nar_decode_contract(setup):
+    """Single-pass NAR decode: right shapes, valid ids, deterministic, and
+    it is genuinely memory-dependent (different crops -> different logits)."""
+    from tuatara_tpu.models.parseq import parseq_nar_decode
+
+    params, _, memory = setup
+    T = CFG.max_label_length + 1
+    logits = jax.jit(
+        lambda p, m: parseq_nar_decode(p, m, CFG, jnp.float32))(params, memory)
+    assert logits.shape == (3, T, CFG.charset_size + 1)
+    ids = np.asarray(jnp.argmax(logits, -1))
+    assert ids.min() >= 0 and ids.max() <= CFG.charset_size
+    logits2 = jax.jit(
+        lambda p, m: parseq_nar_decode(p, m, CFG, jnp.float32))(params, memory)
+    np.testing.assert_array_equal(np.asarray(logits), np.asarray(logits2))
+    assert not np.allclose(np.asarray(logits[0]), np.asarray(logits[1]))
+
+
+def test_forward_nar_mode(setup):
+    """parseq_forward(ar=False) runs NAR + refinement with the AR contract's
+    output shape."""
+    params, imgs, _ = setup
+    logits = jax.jit(
+        lambda p, x: parseq_forward(p, x, CFG, jnp.float32, ar=False)
+    )(params, imgs)
+    assert logits.shape == (3, CFG.max_label_length + 1, CFG.charset_size + 1)

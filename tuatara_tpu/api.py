@@ -353,7 +353,8 @@ class OcrEngine:
             # internally), so exp(logp) is a true sequence probability —
             # the same semantics as greedy's product of per-step probs.
             return ids, jnp.exp(logp)
-        logits = parseq_forward(params, crops, pcfg, compute_dtype=dtype)
+        logits = parseq_forward(params, crops, pcfg, compute_dtype=dtype,
+                                ar=(mode != "nar"))
         ids = jnp.argmax(logits, axis=-1)
         # Sequence confidence: product of per-position max softmax prob
         # up to (and including) the first EOS.

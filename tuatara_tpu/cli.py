@@ -37,7 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--link-threshold", type=float, default=None)
     p.add_argument("--low-text", type=float, default=None)
     p.add_argument("--box-mode", choices=["axis", "rotated"], default=None)
-    p.add_argument("--decode-mode", choices=["greedy", "beam"], default=None)
+    p.add_argument("--decode-mode", choices=["greedy", "beam", "nar"],
+                   default=None)
     p.add_argument("--beam-size", type=int, default=None)
     p.add_argument("--channel-mode", choices=["python", "cpp", "rgb"], default=None)
     p.add_argument("--quantized", action="store_true",

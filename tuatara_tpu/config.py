@@ -61,6 +61,10 @@ class OcrConfig:
     # "greedy": AR argmax + cloze refinement (reference/upstream behavior).
     # "beam": batched beam search (beam_size), length-normalized; refinement
     # is skipped (it re-reads greedy logits, which beam doesn't produce).
+    # "nar": single-pass non-autoregressive decode + cloze refinement (the
+    # PARSEQ paper's NAR mode, upstream decode_ar=False) — ~10x lower
+    # decode latency than the 26-step AR scan; near-AR accuracy on
+    # PLM-trained models, NOT identical outputs.
     decode_mode: str = "greedy"
     beam_size: int = 4
 

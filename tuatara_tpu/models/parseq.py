@@ -479,6 +479,28 @@ def parseq_beam_decode(
     return ids_best, raw_best
 
 
+def parseq_nar_decode(
+    params: Params,
+    memory: jnp.ndarray,
+    cfg: ParseqConfig = ParseqConfig(),
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Single-pass non-autoregressive decode (the PARSEQ paper's NAR mode,
+    upstream `decode_ar=False`): the content stream is BOS alone and all
+    T positions are decoded in ONE decoder pass instead of T sequential
+    steps — ~10x lower decode latency than the AR scan (which is
+    sequential-step latency-bound, not MXU-bound). Pair with
+    `parseq_refine` (cloze refinement) to recover most of the AR accuracy;
+    a PLM-trained model supports this directly (the permutation set covers
+    the no-context cloze). Returns logits [N, T, charset_size+1]."""
+    N = memory.shape[0]
+    T = cfg.max_label_length + 1
+    bos = jnp.full((N, 1), cfg.num_tokens - 2, jnp.int32)
+    q = jnp.broadcast_to(params["pos_queries"][:, :T], (N, T, cfg.embed_dim))
+    return parseq_decode(params, memory, bos, cfg, query=q,
+                         compute_dtype=compute_dtype)
+
+
 def refine_mask(T: int) -> jnp.ndarray:
     """Cloze attention mask for refinement: query i may attend every content
     position except j == i + 1 (its own previous prediction)."""
@@ -520,15 +542,22 @@ def parseq_forward(
     cfg: ParseqConfig = ParseqConfig(),
     compute_dtype=jnp.bfloat16,
     early_exit: bool = True,
+    ar: bool = True,
 ) -> jnp.ndarray:
     """Full inference forward: crops [N,32,128,3] in [0,1] -> logits [N,T,C].
 
     Mirrors the reference model's observable contract (input tuatara.cpp:
     440-446, output consumed at tuatara.cpp:486-493), including greedy AR
-    decode with `refine_iters` cloze refinement passes.
+    decode with `refine_iters` cloze refinement passes. ar=False uses the
+    single-pass NAR decode (parseq_nar_decode) instead of the AR scan —
+    much lower latency, near-AR accuracy after refinement.
     """
     memory = parseq_encode(params, images, cfg, compute_dtype)
-    logits, _ = parseq_greedy_decode(params, memory, cfg, compute_dtype, early_exit)
+    if ar:
+        logits, _ = parseq_greedy_decode(params, memory, cfg, compute_dtype,
+                                         early_exit)
+    else:
+        logits = parseq_nar_decode(params, memory, cfg, compute_dtype)
     for _ in range(cfg.refine_iters):
         logits = parseq_refine(params, memory, logits, cfg, compute_dtype)
     return logits
