@@ -133,60 +133,93 @@ def main() -> int:
     jax.block_until_ready(outs)
     ms_per_crop = (time.perf_counter() - t0) / 5 / 256 * 1000
 
-    # --- NAR decode mode (single-pass + cloze refinement; PARSEQ paper's
-    # non-AR mode) — the low-latency recognizer variant. ---
-    nar_eng = OcrEngine(dataclasses.replace(DEFAULT_CONFIG, decode_mode="nar"))
-    nrec = nar_eng._recognize_fn(256)
-    nrec(nar_eng.parseq_params, crops)[0].block_until_ready()
-    t0 = time.perf_counter()
-    outs = [nrec(nar_eng.parseq_params, crops)[0] for _ in range(5)]
-    jax.block_until_ready(outs)
-    extras["ms_per_crop_parseq_nar"] = round(
-        (time.perf_counter() - t0) / 5 / 256 * 1000, 4)
+    # --- extras, each under a wall-clock budget so a cold compile cache
+    # can never time out the whole bench: once the budget is exceeded the
+    # remaining sections are SKIPPED (recorded as such) and the headline
+    # JSON still prints. An extra's failure is recorded, never fatal. ---
+    start = time.perf_counter()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2100"))
 
-    # --- BASELINE.md config (2): resume single-image latency path ---
+    def extra(name, fn):
+        if time.perf_counter() - start > budget_s:
+            extras.setdefault("skipped_for_budget", []).append(name)
+            return
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — headline must survive
+            extras[name + "_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    def nar():
+        # NAR decode mode (single-pass + cloze refinement; the PARSEQ
+        # paper's non-AR mode) — the low-latency recognizer variant.
+        nar_eng = OcrEngine(
+            dataclasses.replace(DEFAULT_CONFIG, decode_mode="nar"))
+        nrec = nar_eng._recognize_fn(256)
+        nrec(nar_eng.parseq_params, crops)[0].block_until_ready()
+        t0 = time.perf_counter()
+        outs = [nrec(nar_eng.parseq_params, crops)[0] for _ in range(5)]
+        jax.block_until_ready(outs)
+        extras["ms_per_crop_parseq_nar"] = round(
+            (time.perf_counter() - t0) / 5 / 256 * 1000, 4)
+
     resume_img = load_image(f"{IMAGES}/resume_example.png")
-    engine.run(resume_img)
-    t0 = time.perf_counter()
-    for _ in range(3):
+
+    def resume():
+        # BASELINE.md config (2): resume single-image latency path.
         engine.run(resume_img)
-    extras["resume_pages_per_sec"] = round(3 / (time.perf_counter() - t0), 3)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            engine.run(resume_img)
+        extras["resume_pages_per_sec"] = round(
+            3 / (time.perf_counter() - t0), 3)
 
-    # --- BASELINE.md config (3): rotated-box rectification path ---
-    rot_eng = OcrEngine(dataclasses.replace(DEFAULT_CONFIG, box_mode="rotated"))
-    rot_img = load_image(f"{IMAGES}/rotated_text.png")
-    rot_eng.run(rot_img)
-    t0 = time.perf_counter()
-    for _ in range(3):
+    def rotated():
+        # BASELINE.md config (3): rotated-box rectification path.
+        rot_eng = OcrEngine(
+            dataclasses.replace(DEFAULT_CONFIG, box_mode="rotated"))
+        rot_img = load_image(f"{IMAGES}/rotated_text.png")
         rot_eng.run(rot_img)
-    extras["rotated_rectify_pages_per_sec"] = round(
-        3 / (time.perf_counter() - t0), 3)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            rot_eng.run(rot_img)
+        extras["rotated_rectify_pages_per_sec"] = round(
+            3 / (time.perf_counter() - t0), 3)
 
-    # --- BASELINE.md config (4): mixed page sizes via run_mixed ---
-    table_img = load_image(f"{IMAGES}/table_english.png")
-    mixed = [img[..., None], table_img, resume_img, img[..., None],
-             table_img, resume_img]
-    engine.run_mixed(mixed)  # compile all shapes
-    t0 = time.perf_counter()
-    for _ in range(3):
-        engine.run_mixed(mixed)
-    extras["mixed_pages_per_sec"] = round(
-        3 * len(mixed) / (time.perf_counter() - t0), 3)
+    def mixed_sizes():
+        # BASELINE.md config (4): mixed page sizes via run_mixed.
+        table_img = load_image(f"{IMAGES}/table_english.png")
+        mixed = [img[..., None], table_img, resume_img, img[..., None],
+                 table_img, resume_img]
+        engine.run_mixed(mixed)  # compile all shapes
+        t0 = time.perf_counter()
+        for _ in range(3):
+            engine.run_mixed(mixed)
+        extras["mixed_pages_per_sec"] = round(
+            3 * len(mixed) / (time.perf_counter() - t0), 3)
 
-    # --- BASELINE.md config (5): beam decode throughput ---
-    beam_eng = OcrEngine(dataclasses.replace(DEFAULT_CONFIG,
-                                             decode_mode="beam"))
-    beam_eng.run_pages(pages_dev)
-    v, _ = _best_stream(beam_eng, [pages_dev] * 6, repeats=2, depth=2)
-    extras["beam_compute_pages_per_sec"] = round(v, 3)
+    def beam():
+        # BASELINE.md config (5): beam decode throughput.
+        beam_eng = OcrEngine(dataclasses.replace(DEFAULT_CONFIG,
+                                                 decode_mode="beam"))
+        beam_eng.run_pages(pages_dev)
+        v, _ = _best_stream(beam_eng, [pages_dev] * 6, repeats=2, depth=2)
+        extras["beam_compute_pages_per_sec"] = round(v, 3)
 
-    # --- opt-in int8 detector trunk (OcrConfig.quantized_serving):
-    # reported as an extra metric, not the headline — it is not bit-parity
-    # with the reference math (see config.py). ---
-    qeng = OcrEngine(dataclasses.replace(DEFAULT_CONFIG, quantized_serving=True))
-    qeng.run_pages(pages_dev)
-    v, _ = _best_stream(qeng, [pages_dev] * 6, repeats=2, depth=2)
-    extras["quantized_compute_pages_per_sec"] = round(v, 3)
+    def quantized():
+        # Opt-in int8 detector trunk (OcrConfig.quantized_serving):
+        # an extra metric, not the headline — not bit-parity (config.py).
+        qeng = OcrEngine(
+            dataclasses.replace(DEFAULT_CONFIG, quantized_serving=True))
+        qeng.run_pages(pages_dev)
+        v, _ = _best_stream(qeng, [pages_dev] * 6, repeats=2, depth=2)
+        extras["quantized_compute_pages_per_sec"] = round(v, 3)
+
+    extra("nar", nar)
+    extra("resume", resume)
+    extra("rotated", rotated)
+    extra("mixed", mixed_sizes)
+    extra("beam", beam)
+    extra("quantized", quantized)
 
     print(json.dumps({
         "metric": "funsd_pages_per_sec_e2e",
