@@ -400,3 +400,28 @@ def test_missing_key_lists_nearest_actual_keys(rng):
     msg = str(ei.value)
     assert "encoder.norm.weight" in msg  # the key it looked for
     assert "final_norm" in msg           # the nearest real key, suggested
+
+
+def test_load_torch_state_dict_accepts_plain_checkpoints(tmp_path, rng):
+    """First-contact robustness: the converter's loader accepts a plain
+    torch.save'd state dict and the common {'state_dict': ...} checkpoint
+    wrapper under the reference filenames, not just TorchScript archives."""
+    from tuatara_tpu.utils.convert import _load_torch_state_dict
+
+    sd = {"a.weight": torch.tensor([[1.0, 2.0]]), "a.bias": torch.tensor([3.0])}
+
+    p1 = str(tmp_path / "bare.pt")
+    torch.save(sd, p1)
+    got = _load_torch_state_dict(p1)
+    np.testing.assert_array_equal(got["a.weight"], [[1.0, 2.0]])
+
+    p2 = str(tmp_path / "wrapped.pt")
+    torch.save({"epoch": 7, "state_dict": sd}, p2)
+    got = _load_torch_state_dict(p2)
+    np.testing.assert_array_equal(got["a.bias"], [3.0])
+
+    p3 = str(tmp_path / "garbage.pt")
+    with open(p3, "wb") as f:
+        f.write(b"not a torch file")
+    with pytest.raises(ValueError, match="neither"):
+        _load_torch_state_dict(p3)

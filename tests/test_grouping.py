@@ -116,3 +116,87 @@ def test_group_lines_empty_and_single():
     one = [{"text": "a", "bbox": [0.0, 0.0, 5.0, 5.0], "confidence": 0.5}]
     lines = group_lines(one)
     assert len(lines) == 1 and lines[0]["text"] == "a"
+
+
+# ---------------------------------------------------------------------------
+# Block grouping
+# ---------------------------------------------------------------------------
+
+from tuatara_tpu.ops.grouping import group_blocks  # noqa: E402
+
+
+def _word(x0, y0, x1, y1, text="w", conf=0.9):
+    return {"text": text, "bbox": [x0, y0, x1, y1], "confidence": conf}
+
+
+def test_paragraph_lines_join_one_block():
+    words = [
+        _word(0, 0, 50, 10, "line1a"), _word(55, 0, 90, 10, "line1b"),
+        _word(0, 13, 60, 23, "line2"),
+        _word(0, 26, 70, 36, "line3"),
+    ]
+    blocks = group_blocks(group_lines(words))
+    assert len(blocks) == 1
+    assert blocks[0]["text"] == "line1a line1b\nline2\nline3"
+    assert len(blocks[0]["lines"]) == 3
+    assert 0.0 < blocks[0]["confidence"] <= 1.0
+
+
+def test_heading_break_splits_blocks():
+    # Gap of 2x line height between line 2 and line 3 -> new block.
+    words = [
+        _word(0, 0, 60, 10, "a"),
+        _word(0, 13, 60, 23, "b"),
+        _word(0, 45, 60, 55, "c"),
+    ]
+    blocks = group_blocks(group_lines(words))
+    assert len(blocks) == 2
+    assert blocks[0]["text"] == "a\nb"
+    assert blocks[1]["text"] == "c"
+
+
+def test_side_by_side_columns_stay_separate():
+    # Two columns with interleaving baselines: horizontal-overlap gate
+    # must keep them apart even though lines are vertically adjacent.
+    words = [
+        _word(0, 0, 40, 10, "l1"), _word(100, 0, 140, 10, "r1"),
+        _word(0, 12, 40, 22, "l2"), _word(100, 12, 140, 22, "r2"),
+    ]
+    blocks = group_blocks(group_lines(words))
+    assert len(blocks) == 2
+    texts = sorted(b["text"] for b in blocks)
+    assert texts == ["l1\nl2", "r1\nr2"]
+
+
+def test_blocks_reading_order_and_union_bbox():
+    words = [
+        _word(0, 40, 60, 50, "second"),
+        _word(0, 0, 60, 10, "first"),
+    ]
+    blocks = group_blocks(group_lines(words))
+    assert [b["text"] for b in blocks] == ["first", "second"]
+    assert blocks[0]["bbox"] == [0, 0, 60, 10]
+
+
+def test_group_blocks_empty():
+    assert group_blocks([]) == []
+
+
+def test_engine_run_blocks_contract(rng):
+    from tuatara_tpu.api import OcrEngine
+    from tuatara_tpu.config import CraftConfig, OcrConfig, ParseqConfig
+
+    cfg = OcrConfig(canvas_size=128, max_boxes=16, rec_buckets=(16,),
+                    max_label_length=7)
+    tiny_c = CraftConfig(stage_channels=(8, 16, 16, 16, 16), fc_channels=16,
+                         up_channels=((16, 16), (16, 16), (16, 8), (8, 8)),
+                         head_channels=(8, 8, 8, 8))
+    tiny_p = ParseqConfig(embed_dim=32, enc_depth=1, enc_heads=4, dec_heads=4,
+                          max_label_length=7)
+    eng = OcrEngine(cfg, tiny_c, tiny_p, seed=0)
+    img = rng.integers(0, 255, (96, 120, 3)).astype(np.uint8)
+    blocks = eng.run_blocks(img)
+    n_words = len(eng.run(img))
+    assert sum(len(l["words"]) for b in blocks for l in b["lines"]) == n_words
+    for b in blocks:
+        assert set(b) >= {"text", "bbox", "confidence", "lines"}

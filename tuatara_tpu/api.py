@@ -736,6 +736,19 @@ class OcrEngine:
 
         return group_lines(self.run(image), **group_kwargs)
 
+    def run_blocks(self, image: np.ndarray, **group_kwargs) -> List[Dict]:
+        """OCR one image -> paragraph/block-level hierarchy.
+
+        Lines (see run_lines) are further grouped into blocks by vertical
+        adjacency + horizontal-extent overlap (ops/grouping.group_blocks —
+        keeps columns apart, joins paragraph lines). Returns
+        [{text, bbox, confidence, lines}] in reading order; `text` joins
+        member lines with newlines and each line still carries its words.
+        """
+        from tuatara_tpu.ops.grouping import group_blocks
+
+        return group_blocks(self.run_lines(image), **group_kwargs)
+
     def run_stream(self, batches, prefetch: int = 2,
                    depth: int = 1) -> "list[List[List[Dict]]]":
         """OCR an iterable of same-shaped page batches — the serving loop.

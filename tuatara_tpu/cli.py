@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "the reference's bug-compatible 95-char table; "
                         "default = the charset stored next to the weights, "
                         "else standard")
+    p.add_argument("--blocks", action="store_true",
+                   help="group words into paragraph/block hierarchy "
+                        "(lines joined by vertical adjacency + horizontal "
+                        "overlap; implies line grouping)")
     p.add_argument("--lines", action="store_true",
                    help="group words into line-level hierarchy "
                         "(one JSON object per line, with member words)")
@@ -101,10 +105,12 @@ def main(argv=None) -> int:
     engine = get_engine(config, args.weights_dir)
     t0 = time.perf_counter()
     results = engine.run(image, args.outputs_dir)
-    if args.lines:
-        from tuatara_tpu.ops.grouping import group_lines
+    if args.lines or args.blocks:
+        from tuatara_tpu.ops.grouping import group_blocks, group_lines
 
         results = group_lines(results)
+        if args.blocks:
+            results = group_blocks(results)
     elapsed = time.perf_counter() - t0
 
     for r in results:

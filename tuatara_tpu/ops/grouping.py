@@ -87,3 +87,63 @@ def group_lines(
             })
     out.sort(key=lambda l: (l["bbox"][1], l["bbox"][0]))
     return out
+
+
+def group_blocks(
+    lines: List[Dict],
+    max_line_gap_ratio: float = 0.8,
+    min_horizontal_overlap: float = 0.3,
+) -> List[Dict]:
+    """Group line results (from `group_lines`) into paragraph/block level.
+
+    Two lines join the same block when they are vertically adjacent (gap
+    between them at most `max_line_gap_ratio` of the shorter line's height —
+    paragraph leading is typically 0.2-0.5x; a blank line or heading break
+    is >1x) AND their horizontal extents overlap by at least
+    `min_horizontal_overlap` of the narrower line (keeps side-by-side
+    columns apart even when their baselines interleave). Single-link
+    agglomeration in reading order.
+
+    Returns [{text, bbox, confidence, lines}] in reading order: `text` is
+    the member lines joined by newlines, `bbox` the union AABB,
+    `confidence` the geometric mean of line confidences, `lines` the member
+    line dicts (each still carrying its `words`).
+    """
+    blocks: List[Dict] = []
+    for ln in sorted(lines, key=lambda l: (l["bbox"][1], l["bbox"][0])):
+        x0, y0, x1, y1 = ln["bbox"]
+        h = max(y1 - y0, 1.0)
+        best = None
+        for blk in blocks:
+            bx0, by0, bx1, by1 = blk["bbox"]
+            last = blk["lines"][-1]["bbox"]
+            lh = max(last[3] - last[1], 1.0)
+            gap = y0 - last[3]
+            if gap > max_line_gap_ratio * min(h, lh):
+                continue
+            hov = min(x1, bx1) - max(x0, bx0)
+            denom = max(min(x1 - x0, bx1 - bx0), 1.0)
+            if hov / denom < min_horizontal_overlap:
+                continue
+            if best is None or last[3] > best["lines"][-1]["bbox"][3]:
+                best = blk
+        if best is None:
+            blocks.append({"bbox": list(ln["bbox"]), "lines": [ln]})
+        else:
+            best["lines"].append(ln)
+            b = best["bbox"]
+            best["bbox"] = [min(b[0], x0), min(b[1], y0),
+                            max(b[2], x1), max(b[3], y1)]
+
+    out: List[Dict] = []
+    for blk in blocks:
+        confs = [max(l.get("confidence", 1.0), 1e-30) for l in blk["lines"]]
+        conf = math.exp(sum(math.log(c) for c in confs) / len(confs))
+        out.append({
+            "text": "\n".join(l["text"] for l in blk["lines"]),
+            "bbox": blk["bbox"],
+            "confidence": conf,
+            "lines": blk["lines"],
+        })
+    out.sort(key=lambda b: (b["bbox"][1], b["bbox"][0]))
+    return out

@@ -229,6 +229,45 @@ def convert_parseq_state_dict(sd: Dict[str, Any], cfg: ParseqConfig = ParseqConf
     return p
 
 
+def _load_torch_state_dict(path: str) -> Dict[str, Any]:
+    """TorchScript archive OR plain torch checkpoint -> numpy state dict.
+
+    First contact with real artifacts may find either format under the
+    reference filenames (setup.sh:6 downloads opaque binaries): try
+    `torch.jit.load` (the reference's own loader, tuatara.cpp:333/423),
+    then fall back to `torch.load` accepting a bare state_dict or the
+    common {'model'|'state_dict': ...} checkpoint wrappers. Raises with
+    both failure reasons if neither parses."""
+    import torch
+
+    try:
+        m = torch.jit.load(path, map_location="cpu")
+        return {k: v.numpy() for k, v in m.state_dict().items()}
+    except Exception as jit_err:  # noqa: BLE001 — try the other format
+        try:
+            obj = torch.load(path, map_location="cpu", weights_only=False)
+        except Exception as load_err:  # noqa: BLE001
+            raise ValueError(
+                f"{path!r} is neither a TorchScript archive "
+                f"(torch.jit.load: {jit_err}) nor a torch checkpoint "
+                f"(torch.load: {load_err})"
+            ) from load_err
+        if hasattr(obj, "state_dict"):
+            obj = obj.state_dict()
+        for key in ("state_dict", "model"):
+            if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
+                obj = obj[key]
+        if not isinstance(obj, dict):
+            raise ValueError(
+                f"{path!r}: torch.load returned {type(obj).__name__}, "
+                f"expected a state dict (or a checkpoint wrapping one)"
+            )
+        return {
+            k: v.numpy() for k, v in obj.items()
+            if hasattr(v, "numpy")
+        }
+
+
 def convert_torchscript_weights(
     reference_weights_dir: str,
     out_weights_dir: str,
@@ -236,23 +275,16 @@ def convert_torchscript_weights(
     parseq_cfg: ParseqConfig = ParseqConfig(),
 ) -> None:
     """One-shot conversion of the reference's weights_dir (TorchScript
-    artifacts, names per tuatara.cpp:333/423) into the engine's npz format."""
+    artifacts, names per tuatara.cpp:333/423; plain torch checkpoints under
+    the same filenames also accepted) into the engine's npz format."""
     import os
-
-    import torch
 
     from tuatara_tpu.utils.weights import save_weights_dir
 
-    craft_m = torch.jit.load(
-        os.path.join(reference_weights_dir, "craft_traced_torchscript_model.pt"),
-        map_location="cpu",
-    )
-    parseq_m = torch.jit.load(
-        os.path.join(reference_weights_dir, "parseq_torchscript.bin"),
-        map_location="cpu",
-    )
-    craft_sd = {k: v.numpy() for k, v in craft_m.state_dict().items()}
-    parseq_sd = {k: v.numpy() for k, v in parseq_m.state_dict().items()}
+    craft_sd = _load_torch_state_dict(
+        os.path.join(reference_weights_dir, "craft_traced_torchscript_model.pt"))
+    parseq_sd = _load_torch_state_dict(
+        os.path.join(reference_weights_dir, "parseq_torchscript.bin"))
     save_weights_dir(
         out_weights_dir,
         convert_craft_state_dict(craft_sd, craft_cfg),
