@@ -12,11 +12,20 @@ tuatara.cpp:315-323 — raised as typed exceptions instead of
 print-and-return-empty) and its 3-D uint8 input check
 (bindings/python.cpp:15-17). `outputs_dir` is accepted and unused, exactly as
 in the reference (SURVEY.md quirk 6).
+
+Like the reference, the marshalling layer is COMPILED when available: the
+`_pytuatara` C extension (native/pytuatara_ext.c, built by
+`make -C native pyext`) does the buffer validation/copy and result-dict
+construction in C and routes through `_run` below for the engine call.
+`image_to_data` resolves to it at import time, with the pure-Python
+implementation (`_image_to_data_py`) as the uncompiled fallback — both are
+contract-tested equal (tests/test_pyext.py).
 """
 
 from __future__ import annotations
 
 import os
+import sys
 from typing import Dict, List
 
 import numpy as np
@@ -24,19 +33,15 @@ import numpy as np
 from tuatara_tpu import api as _api
 
 
-def image_to_data(image, weights_dir: str, outputs_dir: str) -> List[Dict]:
-    if not weights_dir:
-        raise ValueError("Please provide a value for weights_dir")
-    if not outputs_dir:
-        raise ValueError("Please provide a value for outputs_dir")
-    image = np.asarray(image)
-    if image.ndim != 3:
-        raise ValueError("Input array should have 3 dimensions")
-    # The reference's weights_dir holds TorchScript artifacts; ours holds the
-    # converted .npz pytrees (utils/convert.py). A weights_dir without them
-    # falls back to random init only if it doesn't exist at all is NOT
-    # allowed here — the reference errors on unloadable weights
-    # (tuatara.cpp:337-340), so we do too.
+def _run(image, weights_dir: str, outputs_dir: str) -> List[Dict]:
+    """Validated engine call; shared by the compiled and Python bindings.
+
+    The reference's weights_dir holds TorchScript artifacts; ours holds the
+    converted .npz pytrees (utils/convert.py). Random-init fallback is NOT
+    allowed here — the reference errors on unloadable weights
+    (tuatara.cpp:337-340), so we do too. Returns the engine's full records
+    (text, bbox, confidence); the binding trims them to the reference's
+    OutputItem shape."""
     from tuatara_tpu.utils.weights import weights_available
 
     wd = weights_dir if weights_available(weights_dir) else None
@@ -47,6 +52,35 @@ def image_to_data(image, weights_dir: str, outputs_dir: str) -> List[Dict]:
         )
     if wd is None:
         raise FileNotFoundError(f"weights_dir {weights_dir!r} does not exist")
-    results = _api.image_to_data(image, weights_dir=wd, outputs_dir=outputs_dir)
+    return _api.image_to_data(image, weights_dir=wd, outputs_dir=outputs_dir)
+
+
+def _image_to_data_py(image, weights_dir: str, outputs_dir: str) -> List[Dict]:
+    if not weights_dir:
+        raise ValueError("Please provide a value for weights_dir")
+    if not outputs_dir:
+        raise ValueError("Please provide a value for outputs_dir")
+    image = np.asarray(image)
+    if image.ndim != 3:
+        raise ValueError("Input array should have 3 dimensions")
+    results = _run(image, weights_dir, outputs_dir)
     # Reference items carry exactly {text, bbox} (tuatara.h:8-11).
     return [{"text": r["text"], "bbox": r["bbox"]} for r in results]
+
+
+def _load_compiled():
+    """The compiled `_pytuatara` extension, if built (native/Makefile pyext).
+
+    Never builds implicitly — importing this shim must stay cheap and
+    side-effect free; tests and the Makefile own the build."""
+    native = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
+    if os.path.isdir(native) and native not in sys.path:
+        sys.path.append(native)
+    try:
+        from _pytuatara import image_to_data as compiled  # noqa: PLC0415
+        return compiled
+    except ImportError:
+        return None
+
+
+image_to_data = _load_compiled() or _image_to_data_py
