@@ -413,12 +413,20 @@ def _craft_apply(
     h = _conv_or_q(params["fc"]["fc6"], h, compute_dtype, dilation=6)
     h = _conv_or_q(params["fc"]["fc7"], h, compute_dtype)
 
-    def conv1_split(block: str, y: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
+    def conv1_split(block: str, y: jnp.ndarray, skip: jnp.ndarray,
+                    up: "Tuple[int, int] | None" = None) -> jnp.ndarray:
         # conv1 is always 1x1 over concat(trunk, skip); splitting its weight
         # along cin turns it into two matmuls summed — exactly equal math —
         # so the concatenated tensor (the decoder's largest activations,
         # ~2.3 GB/batch at serving shapes across the four levels) is never
-        # materialized in HBM.
+        # materialized in HBM. When the trunk side arrives at the PREVIOUS
+        # level's resolution (`up` set), its 1x1 conv runs at LOW res and the
+        # 2x bilinear upsample moves the post-conv (half-width) channels:
+        # a channel-pointwise linear map commutes exactly with spatial
+        # interpolation, and the bias commutes because bilinear weights sum
+        # to 1 — measured 1.3-1.7x per level on v5e (the resize lowers to
+        # dot_generals whose cost scales with channels; see
+        # docs/PERFORMANCE.md "decoder upsample commute").
         p = params["up"][block]
         w1 = p["conv1"]["w"]
         ca = y.shape[-1]
@@ -426,23 +434,27 @@ def _craft_apply(
         if "b" in p["conv1"]:
             pa["b"] = p["conv1"]["b"]
         ya = L.conv2d(pa, y, compute_dtype=compute_dtype)
+        if up is not None:
+            ya = _upsample_to(ya, up[0], up[1])
         yb = L.conv2d({"w": w1[:, :, ca:]}, skip, compute_dtype=compute_dtype)
         return jax.nn.relu(bn("up", block, "bn1", ya + yb))
 
-    def double_conv(block: str, y: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
-        y = conv1_split(block, y, skip)
+    def double_conv(block: str, y: jnp.ndarray, skip: jnp.ndarray,
+                    up: "Tuple[int, int] | None" = None) -> jnp.ndarray:
+        y = conv1_split(block, y, skip, up=up)
         p = params["up"][block]
         y = jax.nn.relu(bn("up", block, "bn2",
                            L.conv2d(p["conv2"], y, compute_dtype=compute_dtype)))
         return y
 
-    # Decoder.
+    # Decoder. Each level's 2x upsample is folded into the next level's
+    # trunk-side 1x1 conv (see conv1_split `up`).
     y = double_conv("upconv1", h, skips["f5"])
-    y = _upsample_to(y, skips["f4"].shape[1], skips["f4"].shape[2])
-    y = double_conv("upconv2", y, skips["f4"])
-    y = _upsample_to(y, skips["f3"].shape[1], skips["f3"].shape[2])
-    y = double_conv("upconv3", y, skips["f3"])
-    y = _upsample_to(y, skips["f2"].shape[1], skips["f2"].shape[2])
+    y = double_conv("upconv2", y, skips["f4"],
+                    up=(skips["f4"].shape[1], skips["f4"].shape[2]))
+    y = double_conv("upconv3", y, skips["f3"],
+                    up=(skips["f3"].shape[1], skips["f3"].shape[2]))
+    up4 = (skips["f2"].shape[1], skips["f2"].shape[2])
 
     hp = params["head"]
     # Serving path (folded BNs, /4-divisible width): run upconv4's 3x3 and
@@ -456,7 +468,7 @@ def _craft_apply(
         and skips["f2"].shape[2] // 4 >= 3
     )
     if packed:
-        z = conv1_split("upconv4", y, skips["f2"])
+        z = conv1_split("upconv4", y, skips["f2"], up=up4)
         p4 = params["up"]["upconv4"]["conv2"]
         zp = _pack4(z)
 
@@ -475,7 +487,7 @@ def _craft_apply(
         feat = _unpack4(featp)
         y = _unpack4(yp)
     else:
-        feat = double_conv("upconv4", y, skips["f2"])
+        feat = double_conv("upconv4", y, skips["f2"], up=up4)
         y = jax.nn.relu(L.conv2d(hp["conv1"], feat, compute_dtype=compute_dtype))
         y = jax.nn.relu(L.conv2d(hp["conv2"], y, compute_dtype=compute_dtype))
         y = jax.nn.relu(L.conv2d(hp["conv3"], y, compute_dtype=compute_dtype))
