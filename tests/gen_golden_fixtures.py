@@ -52,20 +52,30 @@ IMAGES = [
 
 
 def main():
+    # --reuse-weights: re-record pipeline outputs against the COMMITTED
+    # weights without retraining — the mode for numerics-only changes, so a
+    # fixture regeneration cannot conflate weight drift with math drift
+    # (ADVICE r2: regenerate weights and fixtures in separate commits).
+    reuse = "--reuse-weights" in os.sys.argv
     os.makedirs(WEIGHTS_DIR, exist_ok=True)
-    craft_p, craft_losses = fit_detector(steps=400, cfg=TINY_CRAFT, seed=0)
-    craft_p = jax.device_get(craft_p)
-    print(f"craft loss {craft_losses[0]:.3f} -> {craft_losses[-1]:.3f}")
+    if reuse:
+        if not os.path.isfile(os.path.join(WEIGHTS_DIR, "craft.npz")):
+            raise SystemExit("--reuse-weights: no committed weights found")
+        print("reusing committed golden weights (no retrain)")
+    else:
+        craft_p, craft_losses = fit_detector(steps=400, cfg=TINY_CRAFT, seed=0)
+        craft_p = jax.device_get(craft_p)
+        print(f"craft loss {craft_losses[0]:.3f} -> {craft_losses[-1]:.3f}")
 
-    tok = Tokenizer()
-    data = word_batch(8, tok, np.random.default_rng(1), max_length=7,
-                      min_len=2, max_len=5)
-    parseq_p, losses = fit_recognizer(steps=300, cfg=TINY_PARSEQ, tokenizer=tok,
-                                      data=data, lr=3e-3, seed=0, k_perms=6,
-                                      log_every=100)
-    print(f"parseq loss {losses[0]:.3f} -> {losses[-1]:.3f}")
-    save_weights_dir(WEIGHTS_DIR, craft_p, jax.device_get(parseq_p),
-                     craft_config=TINY_CRAFT, parseq_config=TINY_PARSEQ)
+        tok = Tokenizer()
+        data = word_batch(8, tok, np.random.default_rng(1), max_length=7,
+                          min_len=2, max_len=5)
+        parseq_p, losses = fit_recognizer(steps=300, cfg=TINY_PARSEQ,
+                                          tokenizer=tok, data=data, lr=3e-3,
+                                          seed=0, k_perms=6, log_every=100)
+        print(f"parseq loss {losses[0]:.3f} -> {losses[-1]:.3f}")
+        save_weights_dir(WEIGHTS_DIR, craft_p, jax.device_get(parseq_p),
+                         craft_config=TINY_CRAFT, parseq_config=TINY_PARSEQ)
 
     engine = OcrEngine(OCR, TINY_CRAFT, TINY_PARSEQ, weights_dir=WEIGHTS_DIR)
     fixture = {"config": {"canvas_size": OCR.canvas_size,
