@@ -9,12 +9,17 @@ against the north-star target of 100 pages/sec (BASELINE.md — the reference
 publishes no numbers; its apparatus is one wall-clock print,
 tuatara.cpp:507-509).
 
-The artifact carries its own transfer evidence: `h2d_bandwidth_mbs` is a
-measured steady-state host->device bandwidth probe (timed jax.device_put of
-page-batch-sized buffers) and `transfer_bound_ceiling_pages_per_sec` the
-throughput that bandwidth admits for this page's bytes — so a reader can
-tell "dev-tunnel transfer ceiling" apart from "engine inefficiency"
-(compute_pages_per_sec is the device-resident rate).
+The artifact carries its own transfer evidence: `h2d_bandwidth_mbs` is the
+median of repeated PIPELINED host->device bandwidth probes (page-batch-sized
+jax.device_puts all in flight, one fence — what the serving producer
+achieves; a serial put-and-block measures only the tunnel's degraded
+per-call latency, kept as `h2d_serial_put_mbs`),
+`transfer_bound_ceiling_pages_per_sec` the throughput that bandwidth admits
+for this page's bytes, and `e2e_implied_h2d_mbs` the byte rate the headline
+stream in fact moved — so a reader can tell "dev-tunnel transfer ceiling"
+apart from "engine inefficiency" (compute_pages_per_sec is the
+device-resident rate; the tunnel's bandwidth drifts between and within
+runs, hence the recorded probe samples).
 
 All five BASELINE.md configs are recorded by default: (1) FUNSD dense batch
 (headline), (2) resume single-image, (3) rotated rectification, (4)
@@ -79,16 +84,29 @@ def main() -> int:
     # --- measured H2D bandwidth + the e2e ceiling it admits -------------
     # Steady state: the first put pays tunnel/program setup; time the rest.
     # Distinct buffers each put (a repeated identical array can be cached).
-    bufs = [pages + np.uint8(i) for i in range(6)]
+    # The ceiling uses PIPELINED bandwidth — all puts queued, one fence —
+    # because that is what the serving loop's producer thread achieves;
+    # a serial put-and-block measures the tunnel's per-call latency (which
+    # degrades ~40x after the first device program; docs/PERFORMANCE.md)
+    # and would understate the ceiling below throughput the engine in fact
+    # delivers. The serial number is kept as a latency diagnostic.
+    bufs = [pages + np.uint8(i) for i in range(8)]
     jax.block_until_ready(jax.device_put(bufs[0]))
-    bw = 0.0
-    for b in bufs[1:]:
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.device_put(bufs[0]))
+    serial_bw = bufs[0].nbytes / (time.perf_counter() - t0)
+
+    def probe_bw():
         t0 = time.perf_counter()
-        jax.block_until_ready(jax.device_put(b))
-        bw = max(bw, b.nbytes / (time.perf_counter() - t0))
-    extras["h2d_bandwidth_mbs"] = round(bw / 1e6, 1)
+        jax.block_until_ready([jax.device_put(b) for b in bufs[1:]])
+        return sum(b.nbytes for b in bufs[1:]) / (time.perf_counter() - t0)
+
+    # Tunnel bandwidth swings run to run AND within a run; probe several
+    # times (again after the e2e sweep, below) and report the samples plus
+    # their median so one lucky/stalled probe can't mislead the artifact.
+    bw_samples = [probe_bw(), probe_bw()]
+    extras["h2d_serial_put_mbs"] = round(serial_bw / 1e6, 1)
     extras["page_kb"] = round(page_bytes / 1e3, 1)
-    extras["transfer_bound_ceiling_pages_per_sec"] = round(bw / page_bytes, 1)
 
     # --- end-to-end pages/sec (pipelined serving loop: H2D overlaps
     # compute). Long stream so steady state dominates; (prefetch, depth)
@@ -104,6 +122,19 @@ def main() -> int:
         if v > pages_per_sec:
             pages_per_sec, all_results = v, out
     extras["e2e_sweep"] = sweep
+    # Post-sweep probe samples: the tunnel state DURING the e2e runs is
+    # what matters, and it drifts. Median over all samples is the headline
+    # bandwidth; the implied-stream rate below is the cross-check.
+    bw_samples += [probe_bw(), probe_bw()]
+    bw = float(np.median(bw_samples))
+    extras["h2d_bandwidth_mbs"] = round(bw / 1e6, 1)
+    extras["h2d_bandwidth_samples_mbs"] = [round(s / 1e6, 1) for s in bw_samples]
+    extras["transfer_bound_ceiling_pages_per_sec"] = round(bw / page_bytes, 1)
+    # Bytes the headline stream actually moved per second — if this is in
+    # the same band as the probe's raw-put bandwidth, the engine is moving
+    # input as fast as the transport allows (transfer-bound), and e2e <<
+    # compute-only (device-resident input) confirms the bound is H2D.
+    extras["e2e_implied_h2d_mbs"] = round(pages_per_sec * page_bytes / 1e6, 1)
     boxes = sum(len(r) for batch in all_results for r in batch) // ITERS
     # Snapshot now: later sections (mixed/beam/quantized) overwrite
     # engine.last_timings with their own final batch.

@@ -228,6 +228,7 @@ def test_float_image_rejected(engine):
         engine.run_pages(np.zeros((1, 32, 32), np.float64))
 
 
+@pytest.mark.slow
 def test_run_mixed_shapes(engine):
     """Mixed-size pages: grouped by shape, results in original order,
     identical to per-page run()."""

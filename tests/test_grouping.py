@@ -182,6 +182,7 @@ def test_group_blocks_empty():
     assert group_blocks([]) == []
 
 
+@pytest.mark.slow
 def test_engine_run_blocks_contract(rng):
     from tuatara_tpu.api import OcrEngine
     from tuatara_tpu.config import CraftConfig, OcrConfig, ParseqConfig

@@ -241,7 +241,8 @@ def test_masked_extraction_equals_oracle_on_cropped_content(seed):
 
 
 @pytest.mark.parametrize("min_area", [
-    2, 5, pytest.param(10, marks=pytest.mark.slow)])
+    2, pytest.param(5, marks=pytest.mark.slow),
+    pytest.param(10, marks=pytest.mark.slow)])
 def test_windowed_area_filter_exact(min_area, rng):
     """area_ok (windowed same-label count) == true per-component area test,
     on random blobs AND adversarial thin snakes/L-shapes that maximize path

@@ -13,7 +13,7 @@ from tuatara_tpu.ops.pallas.cc import label_components_pallas
 from tuatara_tpu.ops.pallas.stats import component_stats
 
 
-@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("seed", [0, pytest.param(1, marks=pytest.mark.slow)])
 def test_cc_kernel_matches_xla(seed):
     rng = np.random.default_rng(seed)
     m = jnp.array(rng.random((64, 128)) < 0.35)
@@ -37,7 +37,7 @@ def test_cc_kernel_snake():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
-@pytest.mark.parametrize("seed", [0, 2])
+@pytest.mark.parametrize("seed", [0, pytest.param(2, marks=pytest.mark.slow)])
 def test_cc_aux_kernel_matches_xla_and_bruteforce(seed):
     """The aux min channel: kernel == XLA fallback == per-component brute
     force (min aux-pixel index, BIG when the component has none)."""

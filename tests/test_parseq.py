@@ -100,6 +100,7 @@ def test_early_exit_matches_full_up_to_eos(setup):
         np.testing.assert_array_equal(row_e[:upto], row_f[:upto])
 
 
+@pytest.mark.slow
 def test_beam1_matches_greedy(setup):
     """Beam search with beam_size=1 must reproduce greedy decode's
     transcript (same argmax path)."""
@@ -157,6 +158,7 @@ def test_refine_mask_blocks_own_token():
             assert m[i, j] == (j != i + 1)
 
 
+@pytest.mark.slow
 def test_refine_shapes_and_changes_logits(setup):
     params, _, memory = setup
     logits, _ = parseq_greedy_decode(params, memory, CFG, jnp.float32)

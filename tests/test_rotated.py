@@ -20,6 +20,7 @@ TINY_PARSEQ = ParseqConfig(
 )
 
 
+@pytest.mark.slow
 def test_pca_corners_recover_rotation():
     """A 30deg-rotated bar yields a rotated rect at ~that angle whose area is
     far below its AABB's."""

@@ -52,6 +52,7 @@ def test_fused_conv_pool_zero_input_edges(rng):
         rtol=3e-2, atol=3e-2)
 
 
+@pytest.mark.slow
 def test_craft_forward_fused_matches_plain(rng):
     """Full CRAFT forward with the fused stage-1 kernel FORCED (interpret on
     CPU) vs the plain XLA path, on a folded serving tree."""

@@ -80,6 +80,7 @@ def test_train_step_runs_and_descends():
     assert int(state.step) == 4
 
 
+@pytest.mark.slow
 def test_craft_forward_train_updates_bn_stats():
     """Training-mode forward normalizes with batch stats and returns torch-
     momentum running-stat updates; inference forward is unchanged."""
@@ -160,6 +161,7 @@ def test_train_step_threads_bn_running_stats():
     )
 
 
+@pytest.mark.slow
 def test_plm_loss_ignores_padding_content():
     """PAD positions after EOS must be invisible to live queries: mutating
     them cannot change the PLM loss (the content key-padding mask)."""
@@ -261,6 +263,7 @@ def test_shard_mid_training_preserves_optimizer_state():
         f"q/w moment not tp-sharded: {shard_shape} of {full}")
 
 
+@pytest.mark.slow
 def test_run_stream_propagates_producer_errors():
     """A bad batch in the stream raises instead of deadlocking."""
     from tuatara_tpu.api import OcrEngine
