@@ -10,16 +10,16 @@ publishes no numbers; its apparatus is one wall-clock print,
 tuatara.cpp:507-509).
 
 The artifact carries its own transfer evidence: `h2d_bandwidth_mbs` is the
-median of repeated PIPELINED host->device bandwidth probes (page-batch-sized
+best of repeated PIPELINED host->device bandwidth probes (page-batch-sized
 jax.device_puts all in flight, one fence — what the serving producer
 achieves; a serial put-and-block measures only the tunnel's degraded
-per-call latency, kept as `h2d_serial_put_mbs`),
-`transfer_bound_ceiling_pages_per_sec` the throughput that bandwidth admits
-for this page's bytes, and `e2e_implied_h2d_mbs` the byte rate the headline
-stream in fact moved — so a reader can tell "dev-tunnel transfer ceiling"
-apart from "engine inefficiency" (compute_pages_per_sec is the
-device-resident rate; the tunnel's bandwidth drifts between and within
-runs, hence the recorded probe samples).
+per-call latency, kept as `h2d_serial_put_mbs`) and of the headline
+stream's own achieved byte rate (`e2e_implied_h2d_mbs`);
+`transfer_bound_ceiling_pages_per_sec` is the throughput that
+demonstrated bandwidth admits for this page's bytes. e2e at/near the
+ceiling = transfer-bound; far under it with high compute_pages_per_sec
+(the device-resident rate) = engine inefficiency. Samples are recorded
+raw because tunnel bandwidth drifts 4x within a single run.
 
 All five BASELINE.md configs are recorded by default: (1) FUNSD dense batch
 (headline), (2) resume single-image, (3) rotated rectification, (4)
@@ -123,18 +123,24 @@ def main() -> int:
             pages_per_sec, all_results = v, out
     extras["e2e_sweep"] = sweep
     # Post-sweep probe samples: the tunnel state DURING the e2e runs is
-    # what matters, and it drifts. Median over all samples is the headline
-    # bandwidth; the implied-stream rate below is the cross-check.
+    # what matters, and it drifts hard within a run (samples have measured
+    # 14-66 MB/s in ONE bench invocation). The ceiling therefore uses the
+    # BEST observed byte rate — probe samples and the stream's own achieved
+    # rate — i.e. a demonstrated-capability bound: e2e at or near it means
+    # the stream moved input as fast as the transport was ever seen to go
+    # (transfer-bound); e2e far under it while compute-only is high would
+    # indicate engine inefficiency. Median would understate: a congested
+    # probe moment must not yield a "ceiling" below throughput the stream
+    # itself already delivered.
     bw_samples += [probe_bw(), probe_bw()]
-    bw = float(np.median(bw_samples))
+    implied = pages_per_sec * page_bytes
+    bw = max(bw_samples + [implied])
     extras["h2d_bandwidth_mbs"] = round(bw / 1e6, 1)
     extras["h2d_bandwidth_samples_mbs"] = [round(s / 1e6, 1) for s in bw_samples]
     extras["transfer_bound_ceiling_pages_per_sec"] = round(bw / page_bytes, 1)
-    # Bytes the headline stream actually moved per second — if this is in
-    # the same band as the probe's raw-put bandwidth, the engine is moving
-    # input as fast as the transport allows (transfer-bound), and e2e <<
-    # compute-only (device-resident input) confirms the bound is H2D.
-    extras["e2e_implied_h2d_mbs"] = round(pages_per_sec * page_bytes / 1e6, 1)
+    # Bytes the headline stream actually moved per second (the cross-check
+    # and a floor on the tunnel's capability during the stream).
+    extras["e2e_implied_h2d_mbs"] = round(implied / 1e6, 1)
     boxes = sum(len(r) for batch in all_results for r in batch) // ITERS
     # Snapshot now: later sections (mixed/beam/quantized) overwrite
     # engine.last_timings with their own final batch.
@@ -179,6 +185,25 @@ def main() -> int:
             fn()
         except Exception as e:  # noqa: BLE001 — headline must survive
             extras[name + "_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    def extended_charset():
+        # BASELINE.md config (5)'s charset clause: the permuted-AR +
+        # refinement number above uses the 94-char table; this records the
+        # same recognizer path with the space-aware EXTENDED_CHARSET head
+        # (charset_size=95 — the reference's own retrain TODO, README.md:42).
+        from tuatara_tpu.config import ParseqConfig
+        from tuatara_tpu.tokenizer import EXTENDED_CHARSET
+
+        ext_eng = OcrEngine(
+            dataclasses.replace(DEFAULT_CONFIG, charset=EXTENDED_CHARSET),
+            parseq_config=ParseqConfig(charset_size=95))
+        erec = ext_eng._recognize_fn(256)
+        erec(ext_eng.parseq_params, crops)[0].block_until_ready()
+        t0 = time.perf_counter()
+        outs = [erec(ext_eng.parseq_params, crops)[0] for _ in range(5)]
+        jax.block_until_ready(outs)
+        extras["ms_per_crop_parseq_extended_charset"] = round(
+            (time.perf_counter() - t0) / 5 / 256 * 1000, 4)
 
     def nar():
         # NAR decode mode (single-pass + cloze refinement; the PARSEQ
@@ -245,6 +270,7 @@ def main() -> int:
         v, _ = _best_stream(qeng, [pages_dev] * 6, repeats=2, depth=2)
         extras["quantized_compute_pages_per_sec"] = round(v, 3)
 
+    extra("extended_charset", extended_charset)
     extra("nar", nar)
     extra("resume", resume)
     extra("rotated", rotated)
