@@ -90,11 +90,11 @@ def main() -> int:
     # degrades ~40x after the first device program; docs/PERFORMANCE.md)
     # and would understate the ceiling below throughput the engine in fact
     # delivers. The serial number is kept as a latency diagnostic.
-    bufs = [pages + np.uint8(i) for i in range(8)]
+    bufs = [pages + np.uint8(i) for i in range(9)]
     jax.block_until_ready(jax.device_put(bufs[0]))
     t0 = time.perf_counter()
-    jax.block_until_ready(jax.device_put(bufs[0]))
-    serial_bw = bufs[0].nbytes / (time.perf_counter() - t0)
+    jax.block_until_ready(jax.device_put(bufs[8]))
+    serial_bw = bufs[8].nbytes / (time.perf_counter() - t0)
 
     def probe_bw():
         t0 = time.perf_counter()

@@ -185,3 +185,26 @@ def test_nar_decode_mode_on_trained_model(ext_weights_dir):
     texts = eng.tokenizer.decode_ids(np.asarray(ids))
     hits = sum(t == w for t, w in zip(texts, SPACE_TEXTS))
     assert hits >= n - 1, texts
+
+
+def test_reference_bugcompat_overrides_stored_charset(tmp_path):
+    """An explicit reference_charset=True must NOT be silently overridden
+    by the charset persisted next to the weights: bug-compat decoding is a
+    user request (the CLI's --charset reference sets exactly this flag)."""
+    from tuatara_tpu.models.parseq import init_parseq_params
+    from tuatara_tpu.tokenizer import REFERENCE_CHARSET, STANDARD_CHARSET
+
+    parseq_cfg = dataclasses.replace(TINY_EXT_PARSEQ, charset_size=94)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    save_weights_dir(
+        str(tmp_path), jax.device_get(init_craft_params(k1, TINY_CRAFT)),
+        jax.device_get(init_parseq_params(k2, parseq_cfg)),
+        craft_config=TINY_CRAFT, parseq_config=parseq_cfg,
+        charset=STANDARD_CHARSET,
+    )
+    eng = OcrEngine(OcrConfig(max_label_length=7, reference_charset=True),
+                    weights_dir=str(tmp_path))
+    assert eng.tokenizer.charset == REFERENCE_CHARSET
+    # Without the flag the stored table still wins over the default.
+    eng2 = OcrEngine(OcrConfig(max_label_length=7), weights_dir=str(tmp_path))
+    assert eng2.tokenizer.charset == STANDARD_CHARSET

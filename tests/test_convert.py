@@ -425,3 +425,19 @@ def test_load_torch_state_dict_accepts_plain_checkpoints(tmp_path, rng):
         f.write(b"not a torch file")
     with pytest.raises(ValueError, match="neither"):
         _load_torch_state_dict(p3)
+
+
+def test_load_torch_checkpoint_module_wrapper(tmp_path):
+    """{'model': <nn.Module>} checkpoints (yolov5/fairseq style) must
+    unwrap to the module's state dict, not silently yield {} (which would
+    surface downstream as a KeyError listing zero 'nearest actual keys')."""
+    import torch
+
+    from tuatara_tpu.utils.convert import _load_torch_state_dict
+
+    mod = torch.nn.Conv2d(3, 4, 3)
+    path = str(tmp_path / "wrapped.pt")
+    torch.save({"model": mod}, path)
+    sd = _load_torch_state_dict(path)
+    assert set(sd) == {"weight", "bias"}
+    assert sd["weight"].shape == (4, 3, 3, 3)

@@ -66,8 +66,9 @@ def test_cc_aux_kernel_matches_xla_and_bruteforce(seed):
         assert (got_vals[0] == want) or (got_vals[0] >= 2**30 and want >= 2**30)
 
 
-def test_stats_kernel_matches_onehot(rng):
-    h, w, K = 32, 128, 128
+@pytest.mark.parametrize("K", [128, 256])  # 256 = single-pass bk=256 tile
+def test_stats_kernel_matches_onehot(rng, K):
+    h, w = 32, 128
     m = jnp.array(rng.random((h, w)) < 0.3)
     labels, _ = label_components(m)
     roots, _ = component_roots(labels, K)
@@ -87,10 +88,11 @@ def test_stats_kernel_matches_onehot(rng):
     np.testing.assert_allclose(np.asarray(peak), want_peak, rtol=1e-6)
 
 
-def test_stats_nopeak_kernel_matches_onehot(rng):
+@pytest.mark.parametrize("K", [128, 256])  # 256 = single-pass bk=256 tile
+def test_stats_nopeak_kernel_matches_onehot(rng, K):
     from tuatara_tpu.ops.pallas.stats import component_stats_nopeak
 
-    h, w, K = 32, 128, 128
+    h, w = 32, 128
     m = jnp.array(rng.random((h, w)) < 0.3)
     labels, _ = label_components(m)
     roots, _ = component_roots(labels, K)

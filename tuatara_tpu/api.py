@@ -94,12 +94,16 @@ class OcrEngine:
         self.parseq_config = parseq_config or stored_parseq or ParseqConfig(
             max_label_length=config.max_label_length
         )
-        # Tokenizer table resolution: explicit OcrConfig.charset > the
-        # charset persisted next to the weights (save_weights_dir) > the
-        # reference_charset flag default. Serving a retrained recognizer
-        # (e.g. EXTENDED_CHARSET with space — the reference's own TODO,
-        # README.md:42) only works when the decode table matches the head.
-        charset = config.charset or stored_charset
+        # Tokenizer table resolution: explicit OcrConfig.charset > explicit
+        # reference_charset=True (bug-compat mode is a user request — it
+        # must not be silently overridden by a table persisted next to the
+        # weights) > the charset persisted by save_weights_dir > standard
+        # default. Serving a retrained recognizer (e.g. EXTENDED_CHARSET
+        # with space — the reference's own TODO, README.md:42) only works
+        # when the decode table matches the head.
+        charset = config.charset
+        if charset is None and not config.reference_charset:
+            charset = stored_charset
         if charset is not None:
             self.tokenizer = Tokenizer(charset=charset)
         else:
@@ -198,8 +202,8 @@ class OcrEngine:
             # Grayscale pages arrive as [H, W, 1]: H2D carries 3x fewer
             # bytes and the canvas is built single-channel (3x less pad/cast
             # traffic); the channel handling happens inside craft_forward
-            # (broadcast fused into conv1_1, or a summed-weight single-
-            # channel first conv on the fused-stage1 kernel path). Results
+            # (the channel broadcast happens last, fusing into conv1_1's
+            # input). Results
             # are bit-exact vs an RGB transfer up to bf16 rounding: on an
             # R=G=B image the BGR flip is the identity, so it is skipped
             # outright (it cost ~6 ms/batch as a full-res fp32 reverse at

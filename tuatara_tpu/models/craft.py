@@ -300,7 +300,9 @@ def craft_forward(
     Args:
       x: [B, H, W, 3] float image in [0, 1] (the reference feeds /255 only,
          no mean/std normalization — tuatara.cpp:363-370); [B, H, W, 1]
-         grayscale is accepted (channel-summed first conv / broadcast).
+         grayscale is accepted (broadcast to conv1_1's cin just before the
+         conv, so XLA fuses it into the conv's input and the decoder never
+         sees 3-channel traffic).
       allow_fused: permit the fused stage-1 Pallas kernel (see FUSED_STAGE1).
          Callers that trace this function under vmap (the tiled-detection
          path) must pass False — the kernel's manual-DMA grid does not

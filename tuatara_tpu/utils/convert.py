@@ -245,7 +245,15 @@ def _load_torch_state_dict(path: str) -> Dict[str, Any]:
         return {k: v.numpy() for k, v in m.state_dict().items()}
     except Exception as jit_err:  # noqa: BLE001 — try the other format
         try:
-            obj = torch.load(path, map_location="cpu", weights_only=False)
+            # Safe mode first: bare state dicts and tensor-dict wrappers
+            # load fine without unpickling arbitrary code. Only a pickled
+            # nn.Module checkpoint needs weights_only=False — fall back for
+            # that case (trusting the artifact is then the caller's call,
+            # same trust the reference's own torch.jit.load extends).
+            try:
+                obj = torch.load(path, map_location="cpu", weights_only=True)
+            except Exception:  # noqa: BLE001 — pickled-Module fallback
+                obj = torch.load(path, map_location="cpu", weights_only=False)
         except Exception as load_err:  # noqa: BLE001
             raise ValueError(
                 f"{path!r} is neither a TorchScript archive "
@@ -255,8 +263,14 @@ def _load_torch_state_dict(path: str) -> Dict[str, Any]:
         if hasattr(obj, "state_dict"):
             obj = obj.state_dict()
         for key in ("state_dict", "model"):
-            if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
-                obj = obj[key]
+            if isinstance(obj, dict) and key in obj:
+                inner = obj[key]
+                # {'model': <nn.Module>} (yolov5/fairseq style) — unwrap
+                # the module too, not just dict-valued wrappers.
+                if hasattr(inner, "state_dict") and not isinstance(inner, dict):
+                    obj = inner.state_dict()
+                elif isinstance(inner, dict):
+                    obj = inner
         if not isinstance(obj, dict):
             raise ValueError(
                 f"{path!r}: torch.load returned {type(obj).__name__}, "
