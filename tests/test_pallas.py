@@ -67,8 +67,9 @@ def test_cc_aux_kernel_matches_xla_and_bruteforce(seed):
 
 
 @pytest.mark.parametrize("K", [128, 256])  # 256 = single-pass bk=256 tile
-def test_stats_kernel_matches_onehot(rng, K):
-    h, w = 32, 128
+@pytest.mark.parametrize("h", [32, 40])    # 32 = bh=32 tile; 40 = bh=8
+def test_stats_kernel_matches_onehot(rng, K, h):
+    w = 128
     m = jnp.array(rng.random((h, w)) < 0.3)
     labels, _ = label_components(m)
     roots, _ = component_roots(labels, K)
@@ -89,10 +90,11 @@ def test_stats_kernel_matches_onehot(rng, K):
 
 
 @pytest.mark.parametrize("K", [128, 256])  # 256 = single-pass bk=256 tile
-def test_stats_nopeak_kernel_matches_onehot(rng, K):
+@pytest.mark.parametrize("h", [32, 40])    # 32 = bh=32 tile; 40 = bh=8
+def test_stats_nopeak_kernel_matches_onehot(rng, K, h):
     from tuatara_tpu.ops.pallas.stats import component_stats_nopeak
 
-    h, w = 32, 128
+    w = 128
     m = jnp.array(rng.random((h, w)) < 0.3)
     labels, _ = label_components(m)
     roots, _ = component_roots(labels, K)
