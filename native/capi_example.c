@@ -5,6 +5,7 @@
  * Build & run (PYTHONPATH must reach the tuatara_tpu package):
  *   make capi_example
  *   PYTHONPATH=../ ./capi_example            # synthetic image, random weights
+ *   PYTHONPATH=../ ./capi_example <weights_dir>   # like resume.cpp argv
  */
 
 #include <stdio.h>
@@ -12,7 +13,8 @@
 
 #include "tuatara_capi.h"
 
-int main(void) {
+int main(int argc, char** argv) {
+  const char* weights_dir = argc > 1 ? argv[1] : NULL;
   const int h = 96, w = 120, c = 3;
   unsigned char* img = (unsigned char*)malloc((size_t)h * w * c);
   /* white page with two dark bars — gives a random-weight detector texture */
@@ -25,7 +27,7 @@ int main(void) {
       for (int k = 0; k < c; ++k) img[(y * w + x) * c + k] = 10;
 
   TuataraItem items[64];
-  int n = tuatara_image_to_data(img, h, w, c, NULL, NULL, items, 64);
+  int n = tuatara_image_to_data(img, h, w, c, weights_dir, NULL, items, 64);
   if (n < 0) {
     fprintf(stderr, "error: %s\n", tuatara_last_error());
     free(img);

@@ -55,6 +55,19 @@ void ensure_interpreter() {
     if (!Py_IsInitialized()) {
       Py_InitializeEx(0);  // no signal handlers: we are a guest
       g_we_initialized = true;
+      // Standalone hosts: honor TUATARA_JAX_PLATFORM (e.g. "cpu") via
+      // jax.config — environments that register a JAX platform plugin at
+      // interpreter startup (sitecustomize) can make the JAX_PLATFORMS env
+      // var ineffective or even hang backend init when the plugin's remote
+      // device is unreachable; the config override is authoritative.
+      // In-process Python hosts configure jax themselves.
+      PyRun_SimpleString(
+          "import os\n"
+          "_p = os.environ.get('TUATARA_JAX_PLATFORM')\n"
+          "if _p:\n"
+          "    import jax\n"
+          "    jax.config.update('jax_platforms', _p)\n"
+          "del _p\n");
       // Release the GIL acquired by initialization so PyGILState_Ensure
       // below works uniformly from any thread.
       PyEval_SaveThread();

@@ -120,7 +120,18 @@ def test_capi_standalone_binary():
     env = dict(os.environ)
     repo = os.path.dirname(NATIVE_DIR)
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-    r = subprocess.run([EXAMPLE], capture_output=True, text=True, env=env,
-                       timeout=900)
+    # Pin the embedded interpreter to the CPU backend: conftest's in-process
+    # platform override cannot reach a fresh subprocess, and the ambient
+    # default (a tunneled TPU) can hang the whole test on tunnel outages —
+    # this test is about the C embedding path, not the backend. The pin
+    # rides TUATARA_JAX_PLATFORM (applied via jax.config inside the
+    # embedded bootstrap): this environment's sitecustomize plugin
+    # registration makes plain JAX_PLATFORMS ineffective. On CPU the
+    # full-width default architecture compiles for minutes, so run the tiny
+    # fixture weights (whose config.json instantiates the tiny models).
+    env["TUATARA_JAX_PLATFORM"] = "cpu"
+    weights = os.path.join(repo, "tests", "fixtures", "golden_weights")
+    r = subprocess.run([EXAMPLE, weights], capture_output=True, text=True,
+                       env=env, timeout=900)
     assert r.returncode == 0, (r.stdout, r.stderr)
     assert "items" in r.stdout
