@@ -269,6 +269,12 @@ def main() -> int:
         qeng.run_pages(pages_dev)
         v, _ = _best_stream(qeng, [pages_dev] * 6, repeats=2, depth=2)
         extras["quantized_compute_pages_per_sec"] = round(v, 3)
+        # Calibrated-static activation scales (engine.calibrate): drops the
+        # per-forward abs-max reduces that dynamic quantization pays.
+        qeng.calibrate(pages)
+        qeng.run_pages(pages_dev)
+        v, _ = _best_stream(qeng, [pages_dev] * 6, repeats=2, depth=2)
+        extras["quantized_calibrated_compute_pages_per_sec"] = round(v, 3)
 
     extra("extended_charset", extended_charset)
     extra("nar", nar)

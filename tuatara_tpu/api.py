@@ -159,6 +159,24 @@ class OcrEngine:
             # transcripts can differ, see quantize_craft_trunk).
             self.craft_params = quantize_craft_trunk(self.craft_params)
             self.parseq_params = quantize_parseq_encoder(self.parseq_params)
+            # Calibrated static activation scales persisted next to the
+            # weights (engine.save_calibration) overlay the freshly
+            # quantized trees — serving starts reduce-free without a
+            # re-calibration pass.
+            if weights_dir:
+                import os
+
+                from tuatara_tpu.utils import weights as W
+
+                calib = os.path.join(weights_dir, W.CALIB_FILE)
+                if os.path.isfile(calib):
+                    c_sx, p_sx = W.load_calibration(calib)
+                    n = W.apply_static_scales(self.craft_params, c_sx)
+                    n += W.apply_static_scales(self.parseq_params, p_sx)
+                    logger.info(
+                        "loaded %d calibrated activation scales from %s",
+                        n, calib)
+        self.weights_dir = weights_dir
 
         self._detect_fns: Dict[Tuple[int, int, int, int], Any] = {}
         self._recognize_fns: Dict[int, Any] = {}
@@ -462,6 +480,115 @@ class OcrEngine:
             if count <= b and b <= self.config.max_boxes:
                 return b
         return self.config.max_boxes
+
+    def calibrate(self, pages, margin: float = 1.1) -> int:
+        """Freeze calibrated static int8 activation scales from sample pages.
+
+        Dynamic per-tensor quantization (the `quantized_serving` default)
+        pays a full abs-max read of every quantized layer's input on every
+        forward — gigabytes of extra HBM traffic per batch on the detector
+        trunk. This runs the quantized detector and recognizer encoder on
+        `pages` (one batch array or a list of batch arrays, same shapes
+        `run_pages` accepts), records each quantized layer's observed input
+        abs-max, and freezes `127/(amax*margin)` into the params as static
+        scales (layers.make_static_quant) — the per-forward reduces
+        disappear and the quantize cast fuses into each producer's epilogue.
+
+        Inputs beyond the calibrated range SATURATE: calibrate on data
+        representative of serving traffic (`margin` adds clip headroom).
+        Re-calibration simply replaces the scales. The engine's cached stage
+        programs retrace automatically (the params pytree gains "sx"
+        leaves). Returns the number of layers calibrated.
+        """
+        if not self.config.quantized_serving:
+            raise ValueError(
+                "calibrate() requires OcrConfig(quantized_serving=True)")
+        from tuatara_tpu.models import layers as L
+        from tuatara_tpu.models.parseq import parseq_encode
+
+        cfg = self.config
+        ccfg = self.craft_config
+        pcfg = self.parseq_config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        batches = pages if isinstance(pages, (list, tuple)) else [pages]
+        cp, pp = self.craft_params, self.parseq_params
+
+        craft_stats, rec_stats = [], []
+        for batch in batches:
+            imgs, b, h, w, c = self._batch_geometry(batch)
+
+            # Detector: same canvas prep as the fused detect program, with
+            # the params CLOSED OVER so the collector's id(wq) keys match a
+            # later tree walk over self.craft_params (layers.calibration).
+            def craft_fwd(images):
+                with L.calibration() as col:
+                    if images.ndim == 3:
+                        images = images[..., None]
+
+                    def prep(image):
+                        gray = image.shape[-1] == 1
+                        canvas, _, _ = detect_canvas(image, cfg)
+                        if not gray and cfg.channel_mode == "python":
+                            canvas = canvas[..., ::-1]
+                        return canvas[0]
+
+                    craft_forward(cp, jax.vmap(prep)(images), ccfg,
+                                  compute_dtype=dtype)
+                    return dict(col)
+
+            craft_stats.append(jax.jit(craft_fwd)(imgs))
+
+            # Recognizer encoder: calibrate on the pages' own crops (the
+            # detector is still dynamically quantized here — the activation
+            # distributions match static serving to quantization-noise
+            # order, standard post-training-quantization practice).
+            det = self._detect_fn(b, h, w, c)(cp, imgs)
+            bucket = self._bucket(
+                min(max(cfg.rec_buckets), b * cfg.max_boxes))
+            crops = self._crop_fn(b, cfg.max_boxes, bucket, h, w, c)(
+                imgs, det["rects"], det["valid"])
+
+            def rec_fwd(crops):
+                with L.calibration() as col:
+                    parseq_encode(pp, crops, pcfg, compute_dtype=dtype)
+                    return dict(col)
+
+            rec_stats.append(jax.jit(rec_fwd)(crops))
+
+        cstats = L.merge_calib_stats(craft_stats)
+        rstats = L.merge_calib_stats(rec_stats)
+        self.craft_params = L.make_static_quant(cp, cstats, margin)
+        self.parseq_params = L.make_static_quant(pp, rstats, margin)
+        logger.info("calibrated %d quantized layers (margin %.2f)",
+                    len(cstats) + len(rstats), margin)
+        return len(cstats) + len(rstats)
+
+    def save_calibration(self, path: Optional[str] = None) -> str:
+        """Persist the calibrated static activation scales ("sx" leaves).
+
+        Default destination is `calibration.npz` inside the engine's
+        weights_dir, where a fresh `OcrEngine(weights_dir=...,
+        quantized_serving=True)` auto-loads them — calibrate once, serve
+        reduce-free in every later process. The file is an overlay on the
+        init-time-quantized trees (weights are not duplicated); loading it
+        under a different architecture or quantization config raises.
+        Returns the path written."""
+        import os
+
+        from tuatara_tpu.utils import weights as W
+
+        if path is None:
+            if not self.weights_dir:
+                raise ValueError(
+                    "engine has no weights_dir; pass an explicit path")
+            path = os.path.join(self.weights_dir, W.CALIB_FILE)
+        n = W.save_calibration(path, self.craft_params, self.parseq_params)
+        if n == 0:
+            raise ValueError(
+                "no calibrated scales to save — run engine.calibrate(pages) "
+                "first (requires quantized_serving=True)")
+        logger.info("saved %d calibrated scales to %s", n, path)
+        return path
 
     # ------------------------------------------------------------------
     # Public entry points

@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quantized", action="store_true",
                    help="int8 detector trunk (~2x trunk MXU rate; not "
                         "bit-parity with the bf16 path — see config.py)")
+    p.add_argument("--calibrate", action="store_true",
+                   help="with --quantized and a weights_dir: freeze static "
+                        "int8 activation scales from this image and save "
+                        "them as calibration.npz next to the weights (later "
+                        "runs auto-load them; docs/PERFORMANCE.md §6)")
     p.add_argument("--charset", choices=["standard", "extended", "reference"],
                    default=None,
                    help="recognizer decode table: standard 94-char PARSEQ, "
@@ -103,6 +108,12 @@ def main(argv=None) -> int:
 
     image = load_image(args.image)
     engine = get_engine(config, args.weights_dir)
+    if args.calibrate:
+        if not (args.quantized and args.weights_dir):
+            build_parser().error("--calibrate requires --quantized and a "
+                                 "weights_dir")
+        engine.calibrate(image[None])
+        print(f"calibration -> {engine.save_calibration()}", file=sys.stderr)
     t0 = time.perf_counter()
     results = engine.run(image, args.outputs_dir)
     if args.lines or args.blocks:

@@ -132,6 +132,87 @@ def quantize_act(x: jnp.ndarray):
     return xq, xs
 
 
+# --- Calibrated (static) activation scales ---------------------------------
+#
+# Dynamic per-tensor quantization pays a full abs-max read of every quantized
+# layer's input on every forward — at serving shapes the detector's trunk
+# activations alone are multiple GB/batch of extra HBM traffic, and the trace
+# shows the saved MXU time partly returning as these reduce passes
+# (docs/PERFORMANCE.md int8 section). A calibration pass records each
+# quantized layer's observed input abs-max on representative data; freezing
+# 127/(amax*margin) into the layer as a static "sx" scale removes the reduce
+# (the remaining scale+round+cast fuses into the producer's epilogue since
+# the input then has a single consumer). Inputs beyond the calibrated range
+# SATURATE — margin > 1 trades a little resolution for clip headroom.
+
+_CALIB: Optional[Dict[int, jnp.ndarray]] = None
+
+
+class calibration:
+    """Context manager collecting per-quantized-layer input abs-max.
+
+    Usage — params must be CLOSED OVER (not jit arguments) so the "wq"
+    leaves inside the trace are the concrete arrays whose id() a later
+    `make_static_quant` tree walk can match::
+
+        def fwd(x):
+            with L.calibration() as col:
+                forward(params, x)             # conv2d_q/linear_q record
+                return dict(col)               # {id(wq): traced amax}
+        stats = jax.jit(fwd)(batch)            # concrete after execution
+
+    Repeat per calibration batch and fold with `merge_calib_stats`.
+    """
+
+    def __enter__(self) -> Dict[int, jnp.ndarray]:
+        global _CALIB
+        self._prev = _CALIB
+        _CALIB = {}
+        return _CALIB
+
+    def __exit__(self, *exc) -> None:
+        global _CALIB
+        _CALIB = self._prev
+
+
+def _observe_act(qp: Params, x: jnp.ndarray) -> None:
+    if _CALIB is None:
+        return
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    k = id(qp["wq"])
+    _CALIB[k] = jnp.maximum(_CALIB[k], amax) if k in _CALIB else amax
+
+
+def merge_calib_stats(stats: Sequence[Dict[int, Any]]) -> Dict[int, Any]:
+    """Elementwise max across per-batch calibration stat dicts."""
+    out: Dict[int, Any] = {}
+    for s in stats:
+        for k, v in s.items():
+            out[k] = max(out[k], float(v)) if k in out else float(v)
+    return out
+
+
+def make_static_quant(params, stats: Dict[int, Any], margin: float = 1.1):
+    """Freeze calibrated static activation scales into a quantized tree.
+
+    Walks `params`; every dict holding int8 weights ("wq") whose id appears
+    in `stats` gains "sx" = 127/(amax*margin), switching conv2d_q/linear_q
+    to the reduce-free static path. Layers the calibration forward never
+    exercised keep dynamic quantization (correct either way). Idempotent
+    over re-calibration (sx is simply replaced)."""
+    if isinstance(params, dict):
+        if "wq" in params and id(params["wq"]) in stats:
+            new = {k: v for k, v in params.items() if k != "sx"}
+            amax = max(float(stats[id(params["wq"])]), 1e-12)
+            new["sx"] = jnp.float32(127.0 / (amax * margin))
+            return new
+        return {k: make_static_quant(v, stats, margin) for k, v in params.items()}
+    if isinstance(params, (list, tuple)):
+        t = type(params)
+        return t(make_static_quant(v, stats, margin) for v in params)
+    return params
+
+
 def conv2d_q_pre(
     qp: Params,
     xq: jnp.ndarray,
@@ -167,14 +248,22 @@ def conv2d_q(
     dilation: int = 1,
     out_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
-    """Quantized NHWC conv: dynamic per-tensor int8 activations x
-    per-channel int8 weights, int32 accumulation, fp32 dequant + bias.
+    """Quantized NHWC conv: per-tensor int8 activations x per-channel int8
+    weights, int32 accumulation, fp32 dequant + bias.
 
-    Activation scale is computed from the live batch's abs-max (one fused
-    reduction; robust to any input distribution — no calibration state).
-    Zero-padding is exact: x=0 quantizes to 0.
+    The activation scale is dynamic by default (the live batch's abs-max —
+    one fused reduction; robust to any input distribution, no calibration
+    state). With a calibrated static scale present ("sx", see
+    make_static_quant) the reduce is skipped and out-of-range inputs
+    saturate. Zero-padding is exact: x=0 quantizes to 0.
     """
-    xq, xs = quantize_act(x)
+    _observe_act(qp, x)
+    if "sx" in qp:
+        xs = qp["sx"]
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) * xs), -127, 127
+                      ).astype(jnp.int8)
+    else:
+        xq, xs = quantize_act(x)
     return conv2d_q_pre(qp, xq, xs, stride=stride, padding=padding,
                         dilation=dilation, out_dtype=out_dtype)
 
@@ -312,9 +401,16 @@ def quantize_linear(params: Params) -> Params:
 
 
 def linear_q(qp: Params, x: jnp.ndarray, out_dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Quantized matmul: dynamic per-tensor int8 activations x per-column
-    int8 weights -> int32, fp32 dequant + bias (see conv2d_q)."""
-    xq, xs = quantize_act(x)
+    """Quantized matmul: per-tensor int8 activations x per-column int8
+    weights -> int32, fp32 dequant + bias (dynamic or calibrated-static
+    activation scale — see conv2d_q)."""
+    _observe_act(qp, x)
+    if "sx" in qp:
+        xs = qp["sx"]
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) * xs), -127, 127
+                      ).astype(jnp.int8)
+    else:
+        xq, xs = quantize_act(x)
     y = jax.lax.dot_general(
         xq, qp["wq"], (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,

@@ -23,6 +23,7 @@ import numpy as np
 CRAFT_FILE = "craft.npz"
 PARSEQ_FILE = "parseq.npz"
 CONFIG_FILE = "config.json"
+CALIB_FILE = "calibration.npz"
 
 
 def flatten_tree(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
@@ -119,6 +120,60 @@ def load_weights_dir(weights_dir: str):
         load_params(os.path.join(weights_dir, CRAFT_FILE)),
         load_params(os.path.join(weights_dir, PARSEQ_FILE)),
     )
+
+
+def save_calibration(path: str, craft_params: Any, parseq_params: Any) -> int:
+    """Persist calibrated static activation scales ("sx" leaves, see
+    layers.make_static_quant) as a flat path-keyed npz. Weights themselves
+    are NOT written: the scales are an overlay on the engine's
+    init-time-quantized trees, re-applied by apply_static_scales. Returns
+    the number of scales written."""
+    flat: Dict[str, np.ndarray] = {}
+    for prefix, tree in (("craft", craft_params), ("parseq", parseq_params)):
+        for k, v in flatten_tree(tree, prefix + "/").items():
+            if k.endswith("/sx"):
+                flat[k] = v
+    np.savez(path, **flat)
+    return len(flat)
+
+
+def load_calibration(path: str):
+    """-> ({craft path: scale}, {parseq path: scale}), paths relative to
+    each model's root (feed to apply_static_scales)."""
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    craft = {k[6:]: v for k, v in flat.items() if k.startswith("craft/")}
+    parseq = {k[7:]: v for k, v in flat.items() if k.startswith("parseq/")}
+    return craft, parseq
+
+
+def apply_static_scales(params: Any, scales: Dict[str, np.ndarray]) -> int:
+    """Set "sx" leaves into a quantized pytree by '/'-joined path, in place.
+
+    Every path must land on a quantized block (one holding "wq") — a miss
+    means the calibration file was produced under a different architecture
+    or quantization config, and raises rather than silently serving with
+    stale/partial scales. Returns the number of scales applied."""
+    for key, val in scales.items():
+        parts = key.split("/")
+        node = params
+        try:
+            for p in parts[:-1]:
+                node = node[int(p)] if isinstance(node, (list, tuple)) else node[p]
+        except (KeyError, IndexError, TypeError) as e:
+            raise KeyError(
+                f"calibration path {key!r} not found in the quantized "
+                f"params tree — calibration.npz was saved under a different "
+                f"architecture/quantization config ({e})"
+            ) from None
+        if not isinstance(node, dict) or "wq" not in node:
+            raise KeyError(
+                f"calibration path {key!r} does not point at a quantized "
+                f"layer (no 'wq') — was the engine built with "
+                f"quantized_serving=True?"
+            )
+        node[parts[-1]] = np.float32(val)
+    return len(scales)
 
 
 def _listify(v):
