@@ -17,7 +17,7 @@ from tuatara_tpu.config import OcrConfig
 from tuatara_tpu.ops.boxes import extract_boxes, scale_boxes, tesseract_bbox
 from tuatara_tpu.ops.connected_components import compact_labels, label_components
 from tuatara_tpu.ops.resize import detect_canvas, pad32, resize_geometry
-from tuatara_tpu.ops.warp import crop_rects, extract_crops
+from tuatara_tpu.ops.warp import crop_rects, extract_crops, extract_crops_batched
 
 CFG = OcrConfig(max_boxes=16, canvas_size=128)
 
@@ -343,6 +343,31 @@ def test_extract_crops_matches_cv2(rng):
         got = np.asarray(crops[i]) * 255.0
         err = np.abs(got - ref).max()
         assert err < 1.0, f"crop {i}: max err {err}"  # cv2 fixed-point tolerance
+
+
+@pytest.mark.parametrize("C", [1, 3])
+def test_extract_crops_batched_selects_pages(rng, C):
+    """Batched crops pull from the RIGHT page and are bit-identical to the
+    single-image path (the engine's serving crop program uses the batched
+    2-tap-gather form; extract_crops wraps it for one page)."""
+    pages = rng.integers(0, 255, (3, 64, 80, C)).astype(np.uint8)
+    boxes = jnp.array([
+        [4.0, 6.0, 40.0, 20.0],
+        [0.0, 0.0, 79.0, 63.0],
+        [50.0, 30.0, 70.0, 55.0],
+        [10.0, 40.0, 30.0, 50.0],
+    ])
+    rects = crop_rects(boxes, 64, 80)
+    page = jnp.array([2, 0, 1, 2], jnp.int32)
+    got = np.asarray(extract_crops_batched(jnp.asarray(pages), page, rects,
+                                           16, 48))
+    for i, p in enumerate(np.asarray(page)):
+        ref = np.asarray(extract_crops(
+            jnp.asarray(pages[p]).astype(jnp.float32), rects[i:i + 1],
+            16, 48))[0]
+        # Same math; the uint8-in vs f32-in programs fuse the cast/lerp/255
+        # chain differently (1-ulp class).
+        np.testing.assert_allclose(got[i], ref, atol=4e-6)
 
 
 def test_crop_rects_clamped():

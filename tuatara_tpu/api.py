@@ -40,7 +40,11 @@ from tuatara_tpu.models.craft import craft_forward, fold_batchnorms, init_craft_
 from tuatara_tpu.models.parseq import init_parseq_params, parseq_forward
 from tuatara_tpu.ops.boxes import extract_boxes, scale_boxes, tesseract_bbox
 from tuatara_tpu.ops.resize import detect_canvas, pad32, resize_geometry
-from tuatara_tpu.ops.warp import crop_rects, extract_crops, extract_crops_perspective
+from tuatara_tpu.ops.warp import (
+    crop_rects,
+    extract_crops_batched,
+    extract_crops_perspective,
+)
 from tuatara_tpu.tokenizer import Tokenizer
 
 logger = logging.getLogger("tuatara_tpu")
@@ -425,8 +429,10 @@ class OcrEngine:
             if images.ndim == 3:  # [B, H, W] grayscale
                 images = images[..., None]
             order = jnp.argsort(~valid.reshape(-1), stable=True)[:bucket]
-            src = jnp.take(images, order // k, axis=0)  # [bucket,H,W,C] uint8
             if rotated:
+                # [bucket,H,W,C] uint8 source-page gather (the axis path
+                # avoids this — see extract_crops_batched).
+                src = jnp.take(images, order // k, axis=0)
                 cr = jnp.take(rects.reshape(b * k, 4, 2), order, axis=0)
                 crops = jax.vmap(
                     lambda im, c4: extract_crops_perspective(
@@ -434,10 +440,8 @@ class OcrEngine:
                 )(src, cr)
             else:
                 rc = jnp.take(rects.reshape(b * k, 4), order, axis=0)
-                crops = jax.vmap(
-                    lambda im, r1: extract_crops(
-                        im.astype(jnp.float32), r1[None], rh, rw)[0]
-                )(src, rc)
+                crops = extract_crops_batched(
+                    images, order // k, rc, rh, rw)
             if crops.shape[-1] == 1:  # grayscale -> RGB for the recognizer
                 crops = jnp.broadcast_to(crops, crops.shape[:-1] + (3,))
             if cfg.channel_mode == "cpp":

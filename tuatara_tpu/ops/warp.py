@@ -75,43 +75,70 @@ def _sample_coords(rects, out_h: int, out_w: int):
 
 
 @partial(jax.jit, static_argnames=("out_h", "out_w"))
+def extract_crops_batched(
+    images: jnp.ndarray,
+    page: jnp.ndarray,
+    rects: jnp.ndarray,
+    out_h: int = 32,
+    out_w: int = 128,
+) -> jnp.ndarray:
+    """images [B, H, W, C] (uint8 or float, 0..255) + per-crop source page
+    indices [K] + rects [K, 4] -> crops [K, out_h, out_w, C] in [0, 1]
+    (the reference's /255, tuatara.cpp:446).
+
+    TPU-first by HBM traffic, not FLOPs: bilinear output needs exactly
+    4 source taps per pixel, so the warp gathers the TWO tap rows per
+    output row ([K, out_h, 2, W] — megabytes, in the source dtype) and
+    lerps, then the two tap columns per output column and lerps. The
+    obvious alternatives both lose: gathering each crop's full source
+    page materializes [K, H, W] (XLA lowers it as a dynamic-update-slice
+    copy loop — measured ~20 ms/256 crops, ~400 MB of HBM traffic, the
+    whole program's cost), and a dense [K, out, H] weight-matrix matmul
+    (gather-as-matmul) pays dense-row reads for 2 live taps. Measured
+    5.2 -> 3.5 ms synthetic, 24 -> ~4 ms inside the engine's compiled
+    crop program (v5e, 256 crops from 16 1056x800 pages). All tap
+    weights are exact fp32; results are bit-identical to the dense
+    formulation and match cv2.resize INTER_LINEAR to fixed-point
+    tolerance (test_ops.py).
+    """
+    B, H, W, C = images.shape
+    sx, sy = _sample_coords(rects, out_h, out_w)      # [K,out_w], [K,out_h]
+
+    fy = (sy - jnp.floor(sy))[..., None, None]        # [K,out_h,1,1]
+    y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, H - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    flat = images.reshape(B * H, W * C)
+    base = page[:, None] * H
+    top = jnp.take(flat, base + y0, axis=0).astype(jnp.float32)
+    bot = jnp.take(flat, base + y1, axis=0).astype(jnp.float32)
+    rows = (top.reshape(-1, out_h, W, C) * (1.0 - fy)
+            + bot.reshape(-1, out_h, W, C) * fy)      # [K,out_h,W,C]
+
+    # Columns ride the MXU as a [out_w, W] x [out_h, W]^T matmul per crop:
+    # wx has exactly the 2 bilinear taps live per output column (zeros
+    # elsewhere contribute exact fp32 0 — bit-identical to a 2-tap lerp).
+    # A take_along_axis 2-tap column gather lowers to a per-ELEMENT scalar
+    # gather here (out_h*out_w*C arbitrary indices — measured 27 ms/call,
+    # the whole program's cost); the matmul is ~0.5 ms.
+    xs = jnp.arange(W, dtype=jnp.float32)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, :, None] - xs[None, None, :]))
+    out = jnp.einsum("kjx,kixc->kijc", wx, rows,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out / 255.0
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
 def extract_crops(
     image: jnp.ndarray,
     rects: jnp.ndarray,
     out_h: int = 32,
     out_w: int = 128,
 ) -> jnp.ndarray:
-    """image [H, W, 3] float (0..255) + rects [K, 4] -> crops [K, out_h,
-    out_w, 3] in [0, 1] (the reference's /255, tuatara.cpp:446).
-
-    TPU-first: bilinear sampling is axis-separable, and each 1-D resample is
-    a sparse linear map — materialized as dense per-crop weight matrices and
-    run as two MXU matmuls (gather-as-matmul). ~55 GFLOP for 256 crops from
-    a 1024^2 page vs a 12M-element scalar gather that serializes on TPU.
-    Weights are exact fp32 values; contractions accumulate in fp32 via
-    3-pass bf16 (DEFAULT precision is per-call "tensorfloat"-like on TPU —
-    we request float32 accumulation explicitly).
-    """
+    """image [H, W, C] float (0..255) + rects [K, 4] -> crops [K, out_h,
+    out_w, C] in [0, 1]. Single-image wrapper over extract_crops_batched."""
     K = rects.shape[0]
-    H, W, C = image.shape
-    sx, sy = _sample_coords(rects, out_h, out_w)
-
-    # Bilinear weight profiles: w[k, i, y] = max(0, 1 - |sy[k,i] - y|) has
-    # exactly the two taps of the bilinear kernel set, everything else 0.
-    ys = jnp.arange(H, dtype=jnp.float32)
-    xs = jnp.arange(W, dtype=jnp.float32)
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy[:, :, None] - ys[None, None, :]))  # [K,h,H]
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, :, None] - xs[None, None, :]))  # [K,w,W]
-
-    # rows: [K*h, H] @ [H, W*C] on the MXU.
-    t = jnp.einsum(
-        "kiy,yxc->kixc", wy, image.astype(jnp.float32),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    out = jnp.einsum(
-        "kjx,kixc->kijc", wx, t, precision=jax.lax.Precision.HIGHEST,
-    )
-    return out / 255.0
+    page = jnp.zeros((K,), jnp.int32)
+    return extract_crops_batched(image[None], page, rects, out_h, out_w)
 
 
 @partial(jax.jit, static_argnames=("out_h", "out_w"))
