@@ -110,3 +110,30 @@ def test_pack4_conv_exact_property():
         got1 = np.asarray(_unpack4(L.conv2d(
             {"w": _pack4_1x1_w(w1)}, _pack4(x), compute_dtype=jnp.float32)))
         np.testing.assert_allclose(got1, ref1, rtol=1e-5, atol=1e-5)
+
+
+def test_pack4_quantized_conv_bit_exact():
+    """Width-packed INT8 conv is BIT-equal to the unpacked int8 conv: the
+    packed weight expansion's zero slots are exact int8 zeros and int32
+    accumulation has no ordering error (stronger than the float packed
+    path's f32-accumulation-order equivalence). This is the property the
+    quantized serving head relies on (craft.py pconv)."""
+    from tuatara_tpu.models.craft import _pack4, _pack4_conv_w, _unpack4
+    from tuatara_tpu.models import layers as L
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    for (C, O, H, W) in [(8, 8, 4, 16), (16, 32, 6, 24), (3, 5, 4, 20)]:
+        x = jnp.asarray(rng.standard_normal((2, H, W, C)), jnp.float32)
+        qp = L.quantize_conv({
+            "w": jnp.asarray(rng.standard_normal((3, 3, C, O)) * 0.2,
+                             jnp.float32),
+            "b": jnp.asarray(rng.standard_normal(O), jnp.float32),
+        })
+        ref = np.asarray(L.conv2d_q(qp, x, out_dtype=jnp.float32))
+        xq, xs = L.quantize_act_q(qp, x)
+        got = np.asarray(_unpack4(L.conv2d_q_pre(
+            {"wq": _pack4_conv_w(qp["wq"]), "sw": jnp.tile(qp["sw"], 4),
+             "b": jnp.tile(qp["b"], 4)},
+            _pack4(xq), xs, out_dtype=jnp.float32)))
+        np.testing.assert_array_equal(got, ref)

@@ -42,8 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--beam-size", type=int, default=None)
     p.add_argument("--channel-mode", choices=["python", "cpp", "rgb"], default=None)
     p.add_argument("--quantized", action="store_true",
-                   help="int8 detector trunk (~2x trunk MXU rate; not "
-                        "bit-parity with the bf16 path — see config.py)")
+                   help="int8 detector + recognizer encoder (~2x quantized-"
+                        "layer MXU rate; not bit-parity with the bf16 path "
+                        "— see config.py)")
     p.add_argument("--calibrate", action="store_true",
                    help="with --quantized and a weights_dir: freeze static "
                         "int8 activation scales from this image and save "

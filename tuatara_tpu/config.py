@@ -107,11 +107,14 @@ class OcrConfig:
     # post-processing always runs fp32.
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
-    # Opt-in int8 detector trunk (per-channel int8 weights + dynamic
-    # per-tensor int8 activations on the VGG/fc convs; v5e runs int8 convs
-    # at ~2x bf16). NOT bit-parity with the bf16 path: detection is
-    # threshold-robust but threshold-adjacent boxes can differ. The decoder,
-    # head, and recognizer stay bf16.
+    # Opt-in int8 detector (per-channel int8 weights + per-tensor int8
+    # activations — dynamic, or calibrated-static via engine.calibrate —
+    # on the VGG/fc convs, the U-Net decoder, the head's 3x3 convs, and
+    # the recognizer's ViT encoder; v5e runs int8 convs/matmuls at ~2x
+    # bf16). NOT bit-parity with the bf16 path: detection is
+    # threshold-robust but threshold-adjacent boxes can differ. The head's
+    # final 1x1 convs (they feed the score thresholds) and the AR decoder
+    # stay bf16.
     quantized_serving: bool = False
 
     # ---- Batching ----

@@ -198,15 +198,20 @@ def _unpack4(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, h, w4 * 4, c4 // 4)
 
 
-def quantize_craft_trunk(params: Params) -> Params:
-    """Serving-only int8 quantization of the VGG trunk + fc convs.
+def quantize_craft_trunk(params: Params, decoder: bool = True) -> Params:
+    """Serving-only int8 quantization of the VGG trunk + fc convs, and
+    (decoder=True, the default) the U-Net decoder + head's wide convs.
 
     Requires a BN-folded tree (fold_batchnorms). conv1_1 stays bf16 — its
     input is the /255 image whose 8-bit dynamic range a second int8
     round-trip would halve, and at cin=3 the int8 conv path has no MXU
-    advantage anyway. The decoder/head stay bf16 too (already width-packed;
-    they feed the score thresholds directly, where quantization noise
-    matters most). ~2x on the trunk's MXU time (see layers.quantize_conv).
+    advantage anyway. In the decoder, each level's 1x1 conv1 is pre-split
+    along cin into the (trunk, skip) halves the forward's concat-free
+    formulation consumes — "conv1a"/"conv1b", each per-output-channel
+    quantized on its own slice (stable weight identities are what keeps
+    engine.calibrate working across the width-pack transform). The head's
+    final 1x1 convs (conv4, conv5) stay bf16: they are tiny and feed the
+    score thresholds directly, where quantization noise matters most.
     Opt-in via OcrConfig.quantized_serving — NOT bit-parity with the
     reference math; detection is threshold-robust but boxes can differ on
     threshold-adjacent components.
@@ -229,6 +234,33 @@ def quantize_craft_trunk(params: Params) -> Params:
             q["vgg"][name] = {"conv": L.quantize_conv(blk["conv"])}
     q["fc"]["fc6"] = L.quantize_conv(params["fc"]["fc6"])
     q["fc"]["fc7"] = L.quantize_conv(params["fc"]["fc7"])
+    if not decoder:
+        return q
+
+    # Decoder: conv1 split point = the trunk-side channel count at each
+    # level (fc7's output for upconv1, the previous level's conv2 output
+    # after). Derived from the weights themselves so any architecture works.
+    q["up"] = {}
+    ca = params["fc"]["fc7"]["w"].shape[3]
+    for blk_name in ("upconv1", "upconv2", "upconv3", "upconv4"):
+        p = params["up"][blk_name]
+        w1 = p["conv1"]["w"]
+        a = {"w": w1[:, :, :ca]}
+        if "b" in p["conv1"]:
+            a["b"] = p["conv1"]["b"]
+        q["up"][blk_name] = {
+            "conv1a": L.quantize_conv(a),
+            "conv1b": L.quantize_conv({"w": w1[:, :, ca:]}),
+            "conv2": L.quantize_conv(p["conv2"]),
+        }
+        ca = p["conv2"]["w"].shape[3]
+    q["head"] = {
+        "conv1": L.quantize_conv(params["head"]["conv1"]),
+        "conv2": L.quantize_conv(params["head"]["conv2"]),
+        "conv3": L.quantize_conv(params["head"]["conv3"]),
+        "conv4": params["head"]["conv4"],
+        "conv5": params["head"]["conv5"],
+    }
     return q
 
 
@@ -430,6 +462,14 @@ def _craft_apply(
         # dot_generals whose cost scales with channels; see
         # docs/PERFORMANCE.md "decoder upsample commute").
         p = params["up"][block]
+        if "conv1a" in p:  # int8 decoder: halves pre-split + pre-quantized
+            # at quantize_craft_trunk time (stable weight identities keep
+            # engine.calibrate's id-keyed collector working).
+            ya = L.conv2d_q(p["conv1a"], y, out_dtype=compute_dtype)
+            if up is not None:
+                ya = _upsample_to(ya, up[0], up[1])
+            yb = L.conv2d_q(p["conv1b"], skip, out_dtype=compute_dtype)
+            return jax.nn.relu(bn("up", block, "bn1", ya + yb))
         w1 = p["conv1"]["w"]
         ca = y.shape[-1]
         pa = {"w": w1[:, :, :ca]}
@@ -446,7 +486,7 @@ def _craft_apply(
         y = conv1_split(block, y, skip, up=up)
         p = params["up"][block]
         y = jax.nn.relu(bn("up", block, "bn2",
-                           L.conv2d(p["conv2"], y, compute_dtype=compute_dtype)))
+                           _conv_or_q(p["conv2"], y, compute_dtype)))
         return y
 
     # Decoder. Each level's 2x upsample is folded into the next level's
@@ -475,6 +515,17 @@ def _craft_apply(
         zp = _pack4(z)
 
         def pconv(pp, x, pack):
+            if "wq" in pp:
+                # Quantize against the ORIGINAL block (calibration keys on
+                # its weight identity), then conv with the width-packed
+                # int8 weights — packed zeros are exact int8 zeros, so the
+                # packed quantized conv is BIT-equal to the unpacked one
+                # (int32 accumulation has no ordering error).
+                xq, xs = L.quantize_act_q(pp, x)
+                kp = {"wq": pack(pp["wq"]), "sw": jnp.tile(pp["sw"], 4)}
+                if "b" in pp:
+                    kp["b"] = jnp.tile(pp["b"], 4)
+                return L.conv2d_q_pre(kp, xq, xs, out_dtype=compute_dtype)
             kp = {"w": pack(pp["w"])}
             if "b" in pp:
                 kp["b"] = jnp.tile(pp["b"], 4)
@@ -490,11 +541,11 @@ def _craft_apply(
         y = _unpack4(yp)
     else:
         feat = double_conv("upconv4", y, skips["f2"], up=up4)
-        y = jax.nn.relu(L.conv2d(hp["conv1"], feat, compute_dtype=compute_dtype))
-        y = jax.nn.relu(L.conv2d(hp["conv2"], y, compute_dtype=compute_dtype))
-        y = jax.nn.relu(L.conv2d(hp["conv3"], y, compute_dtype=compute_dtype))
-        y = jax.nn.relu(L.conv2d(hp["conv4"], y, compute_dtype=compute_dtype))
-        y = L.conv2d(hp["conv5"], y, compute_dtype=compute_dtype)
+        y = jax.nn.relu(_conv_or_q(hp["conv1"], feat, compute_dtype))
+        y = jax.nn.relu(_conv_or_q(hp["conv2"], y, compute_dtype))
+        y = jax.nn.relu(_conv_or_q(hp["conv3"], y, compute_dtype))
+        y = jax.nn.relu(_conv_or_q(hp["conv4"], y, compute_dtype))
+        y = _conv_or_q(hp["conv5"], y, compute_dtype)
 
     if not train:
         return y.astype(jnp.float32), feat.astype(jnp.float32), params

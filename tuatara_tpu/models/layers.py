@@ -257,15 +257,24 @@ def conv2d_q(
     make_static_quant) the reduce is skipped and out-of-range inputs
     saturate. Zero-padding is exact: x=0 quantizes to 0.
     """
+    xq, xs = quantize_act_q(qp, x)
+    return conv2d_q_pre(qp, xq, xs, stride=stride, padding=padding,
+                        dilation=dilation, out_dtype=out_dtype)
+
+
+def quantize_act_q(qp: Params, x: jnp.ndarray):
+    """Quantize an activation against layer `qp` — static scale when
+    calibrated ("sx"), else dynamic — recording the observation for the
+    calibration collector. Exposed for callers that transform qp["wq"]
+    (e.g. width-packing) before running conv2d_q_pre: observing/keying on
+    the ORIGINAL block keeps calibration stable across the transform."""
     _observe_act(qp, x)
     if "sx" in qp:
         xs = qp["sx"]
         xq = jnp.clip(jnp.round(x.astype(jnp.float32) * xs), -127, 127
                       ).astype(jnp.int8)
-    else:
-        xq, xs = quantize_act(x)
-    return conv2d_q_pre(qp, xq, xs, stride=stride, padding=padding,
-                        dilation=dilation, out_dtype=out_dtype)
+        return xq, xs
+    return quantize_act(x)
 
 
 def conv2d_q_u8(qp: Params, x: jnp.ndarray, out_dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -404,13 +413,7 @@ def linear_q(qp: Params, x: jnp.ndarray, out_dtype=jnp.bfloat16) -> jnp.ndarray:
     """Quantized matmul: per-tensor int8 activations x per-column int8
     weights -> int32, fp32 dequant + bias (dynamic or calibrated-static
     activation scale — see conv2d_q)."""
-    _observe_act(qp, x)
-    if "sx" in qp:
-        xs = qp["sx"]
-        xq = jnp.clip(jnp.round(x.astype(jnp.float32) * xs), -127, 127
-                      ).astype(jnp.int8)
-    else:
-        xq, xs = quantize_act(x)
+    xq, xs = quantize_act_q(qp, x)
     y = jax.lax.dot_general(
         xq, qp["wq"], (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
