@@ -324,3 +324,33 @@ def test_engine_with_mesh_matches_unsharded():
     for ra, rb in zip(a, b):
         assert [i["text"] for i in ra] == [i["text"] for i in rb]
         assert [i["bbox"] for i in ra] == [i["bbox"] for i in rb]
+
+
+def test_quantized_calibrated_engine_under_mesh_matches_unsharded():
+    """quantized_serving + engine.calibrate compose with dp sharding: the
+    mesh engine's results equal the meshless quantized engine's, before
+    and after freezing static activation scales (the calibration forward
+    runs over the SHARDED params tree; scales are scalars, replicated)."""
+    from tuatara_tpu.api import OcrEngine
+
+    cfg = OcrConfig(canvas_size=128, max_boxes=16, rec_buckets=(16,),
+                    max_label_length=7, quantized_serving=True)
+    rng = np.random.default_rng(0)
+    pages = rng.integers(0, 255, (4, 96, 96, 3)).astype(np.uint8)
+    plain = OcrEngine(cfg, TINY_CRAFT, TINY_PARSEQ, seed=0)
+    sharded = OcrEngine(cfg, TINY_CRAFT, TINY_PARSEQ, seed=0,
+                        mesh=make_mesh(8, axes=("dp",)))
+    a = plain.run_pages(pages)
+    b = sharded.run_pages(pages)
+    for ra, rb in zip(a, b):
+        assert [i["text"] for i in ra] == [i["text"] for i in rb]
+
+    na = plain.calibrate(pages, margin=1.0)
+    nb = sharded.calibrate(pages, margin=1.0)
+    assert na == nb > 0
+    a = plain.run_pages(pages)
+    b = sharded.run_pages(pages)
+    assert len(b) == 4
+    for ra, rb in zip(a, b):
+        assert [i["text"] for i in ra] == [i["text"] for i in rb]
+        assert [i["bbox"] for i in ra] == [i["bbox"] for i in rb]

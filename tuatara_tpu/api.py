@@ -520,6 +520,16 @@ class OcrEngine:
         craft_stats, rec_stats = [], []
         for batch in batches:
             imgs, b, h, w, c = self._batch_geometry(batch)
+            # Under a dp mesh the sharded stage programs need dp-divisible
+            # batches (same padding as run_pages; blank pages only LOWER
+            # the observed abs-max, never raise it past real content).
+            dp = self.dp_size
+            if b % dp:
+                imgs = np.concatenate(
+                    [np.asarray(imgs),
+                     np.zeros((dp - b % dp,) + np.asarray(imgs).shape[1:],
+                              np.asarray(imgs).dtype)], axis=0)
+                b = imgs.shape[0]
 
             # Detector: same canvas prep as the fused detect program, with
             # the params CLOSED OVER so the collector's id(wq) keys match a
