@@ -216,3 +216,39 @@ def test_forward_nar_mode(setup):
         lambda p, x: parseq_forward(p, x, CFG, jnp.float32, ar=False)
     )(params, imgs)
     assert logits.shape == (3, CFG.max_label_length + 1, CFG.charset_size + 1)
+
+
+def test_fused_qkv_encoder_bit_identical(setup):
+    """fuse_parseq_encoder is EXACT: each matmul output column is an
+    independent dot product, so concatenating q/k/v weight columns changes
+    no column's math — f32, bf16, and the int8 path (per-column scales:
+    quantize-after-fuse == quantize-before-fuse) must all be bit-identical
+    to the split layout. (The engine does NOT apply it — measured slower
+    on v5e, see the docstring — but the transform must stay exact.)"""
+    from tuatara_tpu.models.parseq import (
+        fuse_parseq_encoder,
+        quantize_parseq_encoder,
+    )
+
+    params, imgs, _ = setup
+    fused = fuse_parseq_encoder(params)
+    assert "qkv" in fused["enc"][0]["attn"]
+    # Idempotent; decoder untouched (K/V-cached decode indexes split keys).
+    assert "qkv" in fuse_parseq_encoder(fused)["enc"][0]["attn"]
+    assert "k" in fused["dec"][0]["self_attn"]
+
+    enc = jax.jit(lambda p, x, dt: parseq_encode(p, x, CFG, dt),
+                  static_argnums=2)
+    for dt in (jnp.float32, jnp.bfloat16):
+        a = enc(params, imgs, dt)
+        b = enc(fused, imgs, dt)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    qa = enc(quantize_parseq_encoder(fused), imgs, jnp.bfloat16)
+    qb = enc(quantize_parseq_encoder(params), imgs, jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(qa), np.asarray(qb))
+
+    # Full forward through the fused encoder still decodes identically.
+    fa = jax.jit(lambda p, x: parseq_forward(p, x, CFG, jnp.float32))
+    np.testing.assert_array_equal(
+        np.asarray(fa(params, imgs)), np.asarray(fa(fused, imgs)))

@@ -154,6 +154,13 @@ class OcrEngine:
         self.craft_params = fold_batchnorms(
             self.craft_params, eps=self.craft_config.bn_eps
         )
+        # NOTE: fusing the encoder's q/k/v projections into one matmul
+        # (parseq.fuse_parseq_encoder, bit-identical outputs) was measured
+        # SLOWER on v5e — 23.9 -> 25.5 ms per 256-crop encoder pass, stable
+        # across interleaved repeats; XLA already overlaps the split
+        # projections and the fused [B,L,3D] output pays extra slice/layout
+        # copies. The transform stays available but is not applied
+        # (docs/PERFORMANCE.md dead-end table).
         if config.quantized_serving:
             from tuatara_tpu.models.craft import quantize_craft_trunk
             from tuatara_tpu.models.parseq import quantize_parseq_encoder

@@ -501,6 +501,31 @@ def attention_core(
     )
 
 
+def fuse_mha_qkv(params: Params) -> Params:
+    """Serving-only transform: concatenate an MHA block's q/k/v projection
+    weights into ONE [D, 3D] matmul ({"qkv", "o"} replaces {"q","k","v","o"}).
+
+    Exact: each output column of a matmul is an independent dot product over
+    the shared input, so concatenating weight columns changes neither any
+    column's math nor its accumulation order — outputs are bit-identical
+    (tested). The win is structural: the input activation is read from HBM
+    once instead of three times per block, and the int8 path (quantize_linear
+    on the fused block — per-COLUMN scales, so quantize-after-fuse equals
+    quantize-before-fuse exactly) pays ONE activation-quantization pass
+    instead of three. Only self-attention callers can consume the fused
+    form (`mha` requires xq is xkv); decoder blocks that cache K/V keep the
+    split layout. Idempotent."""
+    if "qkv" in params:
+        return params
+    w = jnp.concatenate(
+        [params["q"]["w"], params["k"]["w"], params["v"]["w"]], axis=1)
+    qkv: Params = {"w": w}
+    if "b" in params["q"]:
+        qkv["b"] = jnp.concatenate(
+            [params["q"]["b"], params["k"]["b"], params["v"]["b"]])
+    return {"qkv": qkv, "o": params["o"]}
+
+
 def mha(
     params: Params,
     xq: jnp.ndarray,
@@ -510,6 +535,20 @@ def mha(
     compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Multi-head attention; xq [B,Lq,D] attends over xkv [B,Lk,D]."""
+    if "qkv" in params:  # fused self-attention projection (fuse_mha_qkv)
+        if xq is not xkv:
+            raise ValueError(
+                "fused-QKV MHA params require self-attention (xq is xkv); "
+                "cross-attention blocks must keep the split q/k/v layout")
+        d = xq.shape[-1]
+        qkv = linear(params["qkv"], xq, compute_dtype)
+        q = _split_heads(qkv[..., :d], heads)
+        k = _split_heads(qkv[..., d:2 * d], heads)
+        v = _split_heads(qkv[..., 2 * d:], heads)
+        if mask is not None and mask.ndim == 2:
+            mask = mask[None, None]
+        out = attention_core(q, k, v, mask, compute_dtype)
+        return linear(params["o"], _merge_heads(out), compute_dtype)
     q = _split_heads(linear(params["q"], xq, compute_dtype), heads)
     k = _split_heads(linear(params["k"], xkv, compute_dtype), heads)
     v = _split_heads(linear(params["v"], xkv, compute_dtype), heads)

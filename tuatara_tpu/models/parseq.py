@@ -108,6 +108,31 @@ def parseq_encode(
     return L.layernorm(params["enc_norm"], x, cfg.layer_norm_eps)
 
 
+def fuse_parseq_encoder(params: Params) -> Params:
+    """Serving-only transform: fuse each encoder block's q/k/v projections
+    into one [D, 3D] matmul (layers.fuse_mha_qkv — bit-identical outputs).
+
+    The encoder's self-attention then reads its activation tensor once
+    instead of three times per block, and under quantized serving each
+    block pays ONE activation-quantization pass instead of three. The
+    decoder is untouched: its K/V-cached decode paths index the split
+    q/k/v weights directly. Idempotent.
+
+    MEASURED DEAD END on v5e (kept for other backends / future emitters):
+    23.9 -> 25.5 ms per 256-crop bf16 encoder pass, stable across
+    interleaved repeats (int8-dynamic: 25.9 -> 27.7). XLA already overlaps
+    the three split projections, and the fused [B, L, 3D] output pays
+    slice/layout copies that outweigh the saved reads — so the engine does
+    NOT apply this transform (docs/PERFORMANCE.md dead-end table)."""
+    if not params["enc"] or "qkv" in params["enc"][0]["attn"]:
+        return params
+    q: Params = dict(params)
+    q["enc"] = [
+        {**blk, "attn": L.fuse_mha_qkv(blk["attn"])} for blk in params["enc"]
+    ]
+    return q
+
+
 def quantize_parseq_encoder(params: Params) -> Params:
     """Serving-only int8 quantization of the ViT encoder's linear layers.
 
@@ -127,8 +152,11 @@ def quantize_parseq_encoder(params: Params) -> Params:
         {
             "norm1": blk["norm1"],
             "norm2": blk["norm2"],
+            # Fused-QKV blocks (fuse_parseq_encoder) quantize the single
+            # fused projection; per-column scales make this exactly equal
+            # to quantizing q/k/v separately and then fusing.
             "attn": {k: L.quantize_linear(blk["attn"][k])
-                     for k in ("q", "k", "v", "o")},
+                     for k in blk["attn"]},
             "mlp": {k: L.quantize_linear(blk["mlp"][k])
                     for k in ("fc1", "fc2")},
         }
