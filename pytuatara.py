@@ -60,9 +60,24 @@ def _image_to_data_py(image, weights_dir: str, outputs_dir: str) -> List[Dict]:
         raise ValueError("Please provide a value for weights_dir")
     if not outputs_dir:
         raise ValueError("Please provide a value for outputs_dir")
-    image = np.asarray(image)
-    if image.ndim != 3:
+    # Mirror the compiled binding's marshalling contract EXACTLY
+    # (native/pytuatara_ext.c:70-84, same check order and exception types)
+    # so whether `make -C native pyext` ran never changes observable
+    # behavior: buffer protocol required (TypeError), then ndim == 3
+    # (ValueError), then uint8 (TypeError). Without this, a float32 image
+    # would sail on to the engine's later, differently-typed dtype guard
+    # on machines where the .so happens not to be built.
+    try:
+        view = memoryview(image)
+    except TypeError:
+        raise TypeError(
+            "image must support the buffer protocol "
+            "(e.g. a numpy uint8 array)") from None
+    if view.ndim != 3:
         raise ValueError("Input array should have 3 dimensions")
+    if view.itemsize != 1 or view.format not in ("B", "b", None):
+        raise TypeError("expected a uint8 image buffer (dtype uint8)")
+    image = np.asarray(image)
     results = _run(image, weights_dir, outputs_dir)
     # Reference items carry exactly {text, bbox} (tuatara.h:8-11).
     return [{"text": r["text"], "bbox": r["bbox"]} for r in results]

@@ -189,6 +189,9 @@ def test_save_calibration_requires_scales(tmp_path):
         eng.save_calibration()
     with pytest.raises(ValueError, match="calibrate"):
         eng.save_calibration(str(tmp_path / "c.npz"))
+    # The error path must not leave a stray empty overlay behind — a later
+    # quantized engine would auto-load it as "0 calibrated scales".
+    assert not (tmp_path / "c.npz").exists()
 
 
 def test_calibrate_requires_quantized_serving():

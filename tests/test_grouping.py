@@ -168,6 +168,25 @@ def test_side_by_side_columns_stay_separate():
     assert texts == ["l1\nl2", "r1\nr2"]
 
 
+def test_full_width_heading_does_not_bridge_columns():
+    # Regression: horizontal overlap must be tested against the block's
+    # LAST line, not its union bbox — a full-width heading would otherwise
+    # stretch the union over both columns and every column line would pass
+    # the overlap gate, interleaving the columns into one block.
+    words = [
+        _word(0, 0, 140, 10, "heading"),
+        _word(0, 12, 40, 22, "l1"), _word(100, 12, 140, 22, "r1"),
+        _word(0, 24, 40, 34, "l2"), _word(100, 24, 140, 34, "r2"),
+    ]
+    blocks = group_blocks(group_lines(words))
+    texts = sorted(b["text"] for b in blocks)
+    # The heading may adopt the first column it touches (its extent covers
+    # both), but the two columns must never fuse with EACH OTHER.
+    assert not any("l1" in t and "r1" in t for t in texts)
+    assert any("l1\nl2" in t for t in texts)
+    assert any("r1\nr2" in t for t in texts)
+
+
 def test_blocks_reading_order_and_union_bbox():
     words = [
         _word(0, 40, 60, 50, "second"),

@@ -52,21 +52,34 @@ def test_shim_prefers_compiled(compiled):
     assert impl is compiled.image_to_data
 
 
-def test_compiled_validation_errors(compiled):
+def _assert_validation_contract(fn):
     img = np.zeros((4, 4, 3), np.uint8)
     with pytest.raises(ValueError, match="weights_dir"):
-        compiled.image_to_data(img, "", "o")
+        fn(img, "", "o")
     with pytest.raises(ValueError, match="outputs_dir"):
-        compiled.image_to_data(img, "w", "")
+        fn(img, "w", "")
     with pytest.raises(ValueError, match="3 dimensions"):
-        compiled.image_to_data(np.zeros((4, 4), np.uint8), "w", "o")
+        fn(np.zeros((4, 4), np.uint8), "w", "o")
     with pytest.raises(TypeError, match="uint8"):
-        compiled.image_to_data(np.zeros((4, 4, 3), np.float32), "w", "o")
+        fn(np.zeros((4, 4, 3), np.float32), "w", "o")
     with pytest.raises(FileNotFoundError):
-        compiled.image_to_data(img, "/nonexistent_weights_dir", "o")
+        fn(img, "/nonexistent_weights_dir", "o")
     # Non-buffer input: the buffer protocol itself raises TypeError.
     with pytest.raises(TypeError):
-        compiled.image_to_data([[1, 2], [3, 4]], "w", "o")
+        fn([[1, 2], [3, 4]], "w", "o")
+
+
+def test_compiled_validation_errors(compiled):
+    _assert_validation_contract(compiled.image_to_data)
+
+
+def test_fallback_validation_contract_matches_compiled():
+    # Whether the .so is built must never change observable behavior: the
+    # pure-Python fallback obeys the exact same check order and exception
+    # types as the C marshalling layer.
+    import pytuatara
+
+    _assert_validation_contract(pytuatara._image_to_data_py)
 
 
 @pytest.fixture(scope="module")

@@ -50,6 +50,27 @@ from tuatara_tpu.tokenizer import Tokenizer
 logger = logging.getLogger("tuatara_tpu")
 
 
+def _canvas_prep(image, cfg):
+    """Detector canvas prep for ONE page [H, W, C] -> [canvas_h, canvas_w, C].
+
+    Grayscale pages arrive as [H, W, 1]: H2D carries 3x fewer bytes and the
+    canvas is built single-channel (3x less pad/cast traffic); the channel
+    broadcast happens inside craft_forward, last, fusing into conv1_1's
+    input. Results are bit-exact vs an RGB transfer up to bf16 rounding: on
+    an R=G=B image the BGR flip is the identity, so it is skipped outright
+    (it cost ~6 ms/batch as a full-res fp32 reverse at serving shapes).
+
+    This is the ONE canvas-prep implementation — the serving detect program
+    and `OcrEngine.calibrate` both call it, so calibration always observes
+    exactly the inputs serving feeds the detector (a drifted copy would
+    silently mis-scale the static activation ranges)."""
+    gray = image.shape[-1] == 1
+    canvas, _, _ = detect_canvas(image, cfg)
+    if not gray and cfg.channel_mode == "python":
+        canvas = canvas[..., ::-1]
+    return canvas[0]
+
+
 class OcrEngine:
     """Persistent two-stage OCR engine (CRAFT detect + PARSEQ recognize)."""
 
@@ -228,20 +249,7 @@ class OcrEngine:
         dtype = jnp.dtype(cfg.compute_dtype)
 
         def prep(image):
-            # Grayscale pages arrive as [H, W, 1]: H2D carries 3x fewer
-            # bytes and the canvas is built single-channel (3x less pad/cast
-            # traffic); the channel handling happens inside craft_forward
-            # (the channel broadcast happens last, fusing into conv1_1's
-            # input). Results
-            # are bit-exact vs an RGB transfer up to bf16 rounding: on an
-            # R=G=B image the BGR flip is the identity, so it is skipped
-            # outright (it cost ~6 ms/batch as a full-res fp32 reverse at
-            # serving shapes).
-            gray = image.shape[-1] == 1
-            canvas, _, _ = detect_canvas(image, cfg)
-            if not gray and cfg.channel_mode == "python":
-                canvas = canvas[..., ::-1]
-            return canvas[0]
+            return _canvas_prep(image, cfg)
 
         def postproc(score_map):
             out = extract_boxes(score_map[:, :, 0], score_map[:, :, 1],
@@ -524,6 +532,29 @@ class OcrEngine:
         batches = pages if isinstance(pages, (list, tuple)) else [pages]
         cp, pp = self.craft_params, self.parseq_params
 
+        # Both forwards are defined ONCE, outside the batch loop: jax.jit
+        # caches on function identity, so per-batch closures would force a
+        # full recompile for EVERY calibration batch even at one shared
+        # shape. Defined here (not at module scope) so the params are
+        # CLOSED OVER — the collector's id(wq) keys must match a later tree
+        # walk over self.craft_params/parseq_params (layers.calibration).
+        @jax.jit
+        def craft_fwd(images):
+            with L.calibration() as col:
+                if images.ndim == 3:
+                    images = images[..., None]
+                # Same canvas prep as the serving detect program — shared
+                # helper, never a copy (_canvas_prep docstring).
+                canvases = jax.vmap(lambda im: _canvas_prep(im, cfg))(images)
+                craft_forward(cp, canvases, ccfg, compute_dtype=dtype)
+                return dict(col)
+
+        @jax.jit
+        def rec_fwd(crops):
+            with L.calibration() as col:
+                parseq_encode(pp, crops, pcfg, compute_dtype=dtype)
+                return dict(col)
+
         craft_stats, rec_stats = [], []
         for batch in batches:
             imgs, b, h, w, c = self._batch_geometry(batch)
@@ -538,26 +569,7 @@ class OcrEngine:
                               np.asarray(imgs).dtype)], axis=0)
                 b = imgs.shape[0]
 
-            # Detector: same canvas prep as the fused detect program, with
-            # the params CLOSED OVER so the collector's id(wq) keys match a
-            # later tree walk over self.craft_params (layers.calibration).
-            def craft_fwd(images):
-                with L.calibration() as col:
-                    if images.ndim == 3:
-                        images = images[..., None]
-
-                    def prep(image):
-                        gray = image.shape[-1] == 1
-                        canvas, _, _ = detect_canvas(image, cfg)
-                        if not gray and cfg.channel_mode == "python":
-                            canvas = canvas[..., ::-1]
-                        return canvas[0]
-
-                    craft_forward(cp, jax.vmap(prep)(images), ccfg,
-                                  compute_dtype=dtype)
-                    return dict(col)
-
-            craft_stats.append(jax.jit(craft_fwd)(imgs))
+            craft_stats.append(craft_fwd(imgs))
 
             # Recognizer encoder: calibrate on the pages' own crops (the
             # detector is still dynamically quantized here — the activation
@@ -569,12 +581,7 @@ class OcrEngine:
             crops = self._crop_fn(b, cfg.max_boxes, bucket, h, w, c)(
                 imgs, det["rects"], det["valid"])
 
-            def rec_fwd(crops):
-                with L.calibration() as col:
-                    parseq_encode(pp, crops, pcfg, compute_dtype=dtype)
-                    return dict(col)
-
-            rec_stats.append(jax.jit(rec_fwd)(crops))
+            rec_stats.append(rec_fwd(crops))
 
         cstats = L.merge_calib_stats(craft_stats)
         rstats = L.merge_calib_stats(rec_stats)

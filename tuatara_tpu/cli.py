@@ -69,7 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    # Flag-combination checks run BEFORE any engine work: construction
+    # costs a weight load + jit warmup, and the error must come from the
+    # parser instance that parsed the args.
+    if args.calibrate and not (args.quantized and args.weights_dir):
+        parser.error("--calibrate requires --quantized and a weights_dir")
     logging.basicConfig(
         level=logging.INFO if args.verbose else logging.WARNING,
         format="%(name)s %(levelname)s %(message)s",
@@ -110,9 +116,6 @@ def main(argv=None) -> int:
     image = load_image(args.image)
     engine = get_engine(config, args.weights_dir)
     if args.calibrate:
-        if not (args.quantized and args.weights_dir):
-            build_parser().error("--calibrate requires --quantized and a "
-                                 "weights_dir")
         engine.calibrate(image[None])
         print(f"calibration -> {engine.save_calibration()}", file=sys.stderr)
     t0 = time.perf_counter()

@@ -461,6 +461,15 @@ def _craft_apply(
         # to 1 — measured 1.3-1.7x per level on v5e (the resize lowers to
         # dot_generals whose cost scales with channels; see
         # docs/PERFORMANCE.md "decoder upsample commute").
+        # compute_dtype=float32 keeps the REFERENCE operation order
+        # (upsample the trunk input, then conv): fp32 is the pinned
+        # parity/debug surface (PARITY.md, the golden f32 pins), and while
+        # conv-then-upsample commutes exactly in real arithmetic, it rounds
+        # differently per output — math-order optimizations therefore apply
+        # only to the serving dtypes (bf16/int8).
+        if up is not None and jnp.dtype(compute_dtype) == jnp.float32:
+            y = _upsample_to(y, up[0], up[1])
+            up = None
         p = params["up"][block]
         if "conv1a" in p:  # int8 decoder: halves pre-split + pre-quantized
             # at quantize_craft_trunk time (stable weight identities keep

@@ -100,9 +100,12 @@ def group_blocks(
     between them at most `max_line_gap_ratio` of the shorter line's height —
     paragraph leading is typically 0.2-0.5x; a blank line or heading break
     is >1x) AND their horizontal extents overlap by at least
-    `min_horizontal_overlap` of the narrower line (keeps side-by-side
-    columns apart even when their baselines interleave). Single-link
-    agglomeration in reading order.
+    `min_horizontal_overlap` of the narrower of (new line, the block's LAST
+    line). Both gates compare against the last member line, never the
+    block's union bbox: a union chain-merges, so one full-width heading
+    would bridge side-by-side columns into a single interleaved block —
+    the same failure mode `group_lines` avoids by using running means
+    instead of union extents. Single-link agglomeration in reading order.
 
     Returns [{text, bbox, confidence, lines}] in reading order: `text` is
     the member lines joined by newlines, `bbox` the union AABB,
@@ -115,14 +118,13 @@ def group_blocks(
         h = max(y1 - y0, 1.0)
         best = None
         for blk in blocks:
-            bx0, by0, bx1, by1 = blk["bbox"]
             last = blk["lines"][-1]["bbox"]
             lh = max(last[3] - last[1], 1.0)
             gap = y0 - last[3]
             if gap > max_line_gap_ratio * min(h, lh):
                 continue
-            hov = min(x1, bx1) - max(x0, bx0)
-            denom = max(min(x1 - x0, bx1 - bx0), 1.0)
+            hov = min(x1, last[2]) - max(x0, last[0])
+            denom = max(min(x1 - x0, last[2] - last[0]), 1.0)
             if hov / denom < min_horizontal_overlap:
                 continue
             if best is None or last[3] > best["lines"][-1]["bbox"][3]:

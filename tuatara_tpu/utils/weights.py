@@ -133,6 +133,11 @@ def save_calibration(path: str, craft_params: Any, parseq_params: Any) -> int:
         for k, v in flatten_tree(tree, prefix + "/").items():
             if k.endswith("/sx"):
                 flat[k] = v
+    if not flat:
+        # Nothing calibrated: do NOT touch the filesystem — an empty
+        # calibration.npz left in a weights_dir would be auto-loaded (as 0
+        # scales) by every future quantized engine.
+        return 0
     np.savez(path, **flat)
     return len(flat)
 
