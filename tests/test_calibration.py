@@ -94,6 +94,7 @@ def test_merge_calib_stats_takes_max():
     assert m[1] == 3.0 and m[2] == 5.0
 
 
+@pytest.mark.slow  # compiles a full tiny engine (~45 s CPU); math covered by the fast unit tests above
 def test_engine_calibrate_plumbing():
     """Tiny quantized engine: calibrate() freezes scales into both models'
     params and the engine keeps serving (programs retrace on the new
@@ -136,6 +137,7 @@ def _tiny_configs(quantized=True):
     return cfg, craft_cfg, parseq_cfg
 
 
+@pytest.mark.slow  # two engine constructions + calibrate (~50 s CPU)
 def test_calibration_persistence_roundtrip(tmp_path):
     """calibrate -> save_calibration -> fresh OcrEngine(weights_dir=...)
     auto-loads the scales and produces the calibrated engine's results."""

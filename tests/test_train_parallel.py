@@ -326,6 +326,7 @@ def test_engine_with_mesh_matches_unsharded():
         assert [i["bbox"] for i in ra] == [i["bbox"] for i in rb]
 
 
+@pytest.mark.slow  # sharded + unsharded calibrated engines (~90 s CPU); fast mesh coverage remains above
 def test_quantized_calibrated_engine_under_mesh_matches_unsharded():
     """quantized_serving + engine.calibrate compose with dp sharding: the
     mesh engine's results equal the meshless quantized engine's, before
