@@ -189,3 +189,37 @@ def test_evaluate_engine_micro_average():
 def test_evaluate_engine_length_mismatch():
     with pytest.raises(ValueError):
         evaluate_engine(_StubEngine([]), ["i1"], [])
+
+
+# ---------------------------------------------------------------------------
+# FUNSD annotation loading (utils/data.py) -> metrics ground truth
+# ---------------------------------------------------------------------------
+
+def test_load_funsd_annotations(tmp_path):
+    import json
+
+    from tuatara_tpu.utils.data import load_funsd_annotations
+
+    ann = {"form": [
+        {"text": "TO: Sam", "box": [10, 10, 80, 24], "label": "question",
+         "words": [{"text": "TO:", "box": [10, 10, 35, 24]},
+                   {"text": "Sam", "box": [40, 10, 80, 24]}]},
+        {"text": "", "box": [0, 0, 5, 5], "label": "other",
+         "words": [{"text": "", "box": [0, 0, 5, 5]}]},  # checkbox: dropped
+    ]}
+    p = tmp_path / "page.json"
+    p.write_text(json.dumps(ann))
+
+    words = load_funsd_annotations(str(p))
+    assert words == [{"text": "TO:", "bbox": [10.0, 10.0, 35.0, 24.0]},
+                     {"text": "Sam", "bbox": [40.0, 10.0, 80.0, 24.0]}]
+    entities = load_funsd_annotations(str(p), level="entity")
+    assert entities == [{"text": "TO: Sam", "bbox": [10.0, 10.0, 80.0, 24.0]}]
+    with pytest.raises(ValueError):
+        load_funsd_annotations(str(p), level="line")
+
+    # Round-trips straight into the scorer.
+    s = evaluate_page(
+        [{"text": "TO:", "bbox": [10, 10, 35, 24]},
+         {"text": "Sam", "bbox": [40, 10, 80, 24]}], words)
+    assert s["f1"] == 1.0 and s["word_acc"] == 1.0

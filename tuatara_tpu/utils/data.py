@@ -137,3 +137,41 @@ def detection_batch(
         heats[i] = gaussian_heatmap_targets(boxes, counts, size // 2, size // 2)
         pages[i] = np.clip(pages[i] + rng.normal(0, 0.02, pages[i].shape), 0, 1)
     return {"pages": pages, "heat": heats}
+
+
+def load_funsd_annotations(path: str, level: str = "word") -> List[Dict]:
+    """Load one FUNSD annotation file -> ground truth for utils/metrics.
+
+    FUNSD (the dataset the reference's own benchmark image comes from,
+    images/funsd_0001129658.png) annotates each page as
+    {"form": [{"text", "box": [x0, y0, x1, y1], "words": [{"text", "box"},
+    ...], ...}, ...]}. Returns [{"text", "bbox"}] at `level`:
+
+    * "word" (default) — one entry per word, the granularity the engine
+      emits and `evaluate_page`/`evaluate_engine` score against;
+    * "entity" — one entry per form field (the `text` line), matching
+      line-level output (`OcrEngine.run_lines`).
+
+    Entries with empty text (FUNSD marks checkboxes/empty fields as "") are
+    dropped — they have no transcript to score and the detector is not
+    supposed to find them.
+    """
+    import json
+
+    with open(path) as f:
+        form = json.load(f)["form"]
+    out: List[Dict] = []
+    if level == "word":
+        for field in form:
+            for wrd in field.get("words", []):
+                if wrd.get("text", "").strip():
+                    out.append({"text": wrd["text"],
+                                "bbox": [float(v) for v in wrd["box"]]})
+    elif level == "entity":
+        for field in form:
+            if field.get("text", "").strip():
+                out.append({"text": field["text"],
+                            "bbox": [float(v) for v in field["box"]]})
+    else:
+        raise ValueError(f"level must be 'word' or 'entity', got {level!r}")
+    return out
