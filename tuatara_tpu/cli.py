@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lines", action="store_true",
                    help="group words into line-level hierarchy "
                         "(one JSON object per line, with member words)")
+    p.add_argument("--eval", metavar="TRUTH_JSON",
+                   help="score the word results against ground truth and "
+                        "print {precision, recall, f1, cer, word_acc} to "
+                        "stderr: a FUNSD annotation file (has a 'form' key) "
+                        "or a plain [{text, bbox}] list (utils/metrics.py)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -120,6 +125,20 @@ def main(argv=None) -> int:
         print(f"calibration -> {engine.save_calibration()}", file=sys.stderr)
     t0 = time.perf_counter()
     results = engine.run(image, args.outputs_dir)
+    if args.eval:
+        # Score the WORD-level results (grouping below is display-only).
+        from tuatara_tpu.utils.metrics import evaluate_page
+
+        with open(args.eval) as f:
+            truth = json.load(f)
+        if isinstance(truth, dict) and "form" in truth:
+            from tuatara_tpu.utils.data import load_funsd_annotations
+
+            truth = load_funsd_annotations(args.eval)
+        scores = evaluate_page(results, truth)
+        print("eval: " + json.dumps(
+            {k: round(v, 4) if isinstance(v, float) else v
+             for k, v in scores.items()}), file=sys.stderr)
     if args.lines or args.blocks:
         from tuatara_tpu.ops.grouping import group_blocks, group_lines
 
