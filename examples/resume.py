@@ -12,7 +12,9 @@ from tuatara_tpu.utils.image import load_image
 
 
 def main() -> int:
-    image_path = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/images/resume_example.png"
+    from tuatara_tpu.utils.image import asset_path
+
+    image_path = sys.argv[1] if len(sys.argv) > 1 else asset_path("resume_example.png")
     weights_dir = sys.argv[2] if len(sys.argv) > 2 else None
     outputs_dir = sys.argv[3] if len(sys.argv) > 3 else None
     results = image_to_data(load_image(image_path), weights_dir, outputs_dir)

@@ -15,7 +15,9 @@ DEFAULT_WEIGHTS = "./weights"  # mirrors the reference's hardcoded ../../weights
 
 
 def main() -> int:
-    image_path = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/images/table_english.png"
+    from tuatara_tpu.utils.image import asset_path
+
+    image_path = sys.argv[1] if len(sys.argv) > 1 else asset_path("table_english.png")
     weights = DEFAULT_WEIGHTS if os.path.isdir(DEFAULT_WEIGHTS) else None
     results = image_to_data(load_image(image_path), weights, "./outputs")
     for r in results:

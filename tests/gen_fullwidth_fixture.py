@@ -36,7 +36,9 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 FIXDIR = os.path.join(HERE, "fixtures")
 OUT = os.path.join(FIXDIR, "golden_fullwidth.json")
 
-FUNSD = "/root/reference/images/funsd_0001129658.png"
+from tuatara_tpu.utils.image import asset_path
+
+FUNSD = asset_path("funsd_0001129658.png")
 SEED = 123
 CANVAS = 256
 MAX_BOXES = 64

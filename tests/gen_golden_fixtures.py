@@ -33,7 +33,7 @@ from tuatara_tpu.config import CraftConfig, OcrConfig, ParseqConfig  # noqa: E40
 from tuatara_tpu.tokenizer import Tokenizer  # noqa: E402
 from tuatara_tpu.train.run import fit_detector, fit_recognizer  # noqa: E402
 from tuatara_tpu.utils.data import word_batch  # noqa: E402
-from tuatara_tpu.utils.image import load_image  # noqa: E402
+from tuatara_tpu.utils.image import asset_path, load_image  # noqa: E402
 from tuatara_tpu.utils.weights import save_weights_dir  # noqa: E402
 
 TINY_CRAFT = CraftConfig(
@@ -83,7 +83,7 @@ def main():
                           "max_label_length": OCR.max_label_length},
                "images": {}}
     for name in IMAGES:
-        img = load_image(f"/root/reference/images/{name}.png")
+        img = load_image(asset_path(f"{name}.png"))
         out = engine.run(img)
         fixture["images"][name] = out
         print(f"{name}: {len(out)} boxes; texts: {[r['text'] for r in out[:6]]}")

@@ -19,10 +19,11 @@ import pytest
 from tuatara_tpu.api import OcrEngine
 from tuatara_tpu.config import CraftConfig, OcrConfig, ParseqConfig
 from tuatara_tpu.models import layers as L
+from tuatara_tpu.utils.image import asset_path
 
 GOLDEN_WEIGHTS = os.path.join(os.path.dirname(__file__), "fixtures",
                               "golden_weights")
-FUNSD = "/root/reference/images/funsd_0001129658.png"
+FUNSD = asset_path("funsd_0001129658.png")
 
 
 def _conv_params(rng, c=8, o=8):

@@ -23,7 +23,7 @@ import pytest
 
 from tuatara_tpu.api import OcrEngine
 from tuatara_tpu.config import CraftConfig, OcrConfig, ParseqConfig
-from tuatara_tpu.utils.image import load_image
+from tuatara_tpu.utils.image import asset_path, load_image
 
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
                        "golden_rotated_text_tiny.json")
@@ -31,7 +31,7 @@ GOLDEN_DEFAULT = os.path.join(os.path.dirname(__file__), "fixtures",
                               "golden_default.json")
 GOLDEN_WEIGHTS = os.path.join(os.path.dirname(__file__), "fixtures",
                               "golden_weights")
-IMAGE = "/root/reference/images/rotated_text.png"
+IMAGE = asset_path("rotated_text.png")
 
 TINY_CRAFT = CraftConfig(
     stage_channels=(8, 16, 16, 16, 16), fc_channels=16,
@@ -75,7 +75,7 @@ def golden_engine():
 @pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(_GOLDEN["images"]))
 def test_golden_default_config(golden_engine, name):
-    path = f"/root/reference/images/{name}.png"
+    path = asset_path(f"{name}.png")
     if not os.path.isfile(path):
         pytest.skip("reference image absent")
     want = _GOLDEN["images"][name]
@@ -108,7 +108,7 @@ def test_native_matches_jax_on_real_craft_heatmaps():
     cfg = OcrConfig(max_label_length=7)
     craft_p, _ = load_weights_dir(GOLDEN_WEIGHTS)
     craft_p = fold_batchnorms(craft_p)
-    img = load_image("/root/reference/images/funsd_0001129658.png")
+    img = load_image(asset_path("funsd_0001129658.png"))
 
     @jax.jit
     def heatmaps(p, image):
@@ -146,7 +146,7 @@ def test_quantized_serving_agrees_with_bf16():
     must not change detection at large."""
     import dataclasses
 
-    img = load_image("/root/reference/images/funsd_0001129658.png")
+    img = load_image(asset_path("funsd_0001129658.png"))
     cfg = OcrConfig(max_label_length=7)
     base = OcrEngine(cfg, weights_dir=GOLDEN_WEIGHTS).run(img)
     quant = OcrEngine(

@@ -36,9 +36,9 @@ def fixture():
 
 @pytest.fixture(scope="module")
 def funsd():
-    from tuatara_tpu.utils.image import load_image
+    from tuatara_tpu.utils.image import asset_path, load_image
 
-    return load_image("/root/reference/images/funsd_0001129658.png")
+    return load_image(asset_path("funsd_0001129658.png"))
 
 
 def _check(variant_cfg, pinned, img, probe_atol, probe_rtol):

@@ -36,7 +36,7 @@ from tuatara_tpu.api import OcrEngine
 from tuatara_tpu.config import CraftConfig, OcrConfig, ParseqConfig
 from tuatara_tpu.tokenizer import Tokenizer
 from tuatara_tpu.utils.convert import convert_torchscript_weights
-from tuatara_tpu.utils.image import load_image
+from tuatara_tpu.utils.image import asset_path, load_image
 
 from test_convert import _TorchCraft
 from test_ops import _oracle_boxes
@@ -54,8 +54,8 @@ OCR_CFG = OcrConfig(
 )
 
 IMAGES = [
-    "/root/reference/images/funsd_0001129658.png",
-    "/root/reference/images/rotated_text.png",
+    asset_path("funsd_0001129658.png"),
+    asset_path("rotated_text.png"),
 ]
 
 

@@ -9,9 +9,40 @@ path.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
+
+# Test/bench image assets (the reference ships these in-repo at images/;
+# this repo does too, so a standalone clone runs the bench and golden tests
+# without the reference mount). Resolution order: $TUATARA_IMAGES, the
+# repo's own images/, then the reference mount as a last resort.
+_REPO_IMAGES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "images",
+)
+_IMAGE_DIRS = (
+    os.environ.get("TUATARA_IMAGES", ""),
+    _REPO_IMAGES,
+    "/root/reference/images",
+)
+
+
+def asset_path(name: str) -> str:
+    """Resolve a test-image filename (e.g. "resume_example.png") to a path.
+
+    Searches $TUATARA_IMAGES, the repo's images/ directory, then the
+    read-only reference checkout. Raises FileNotFoundError with the
+    searched locations if the asset is nowhere."""
+    for d in _IMAGE_DIRS:
+        if d:
+            p = os.path.join(d, name)
+            if os.path.isfile(p):
+                return p
+    raise FileNotFoundError(
+        f"test image {name!r} not found in any of {[d for d in _IMAGE_DIRS if d]}"
+    )
 
 
 def load_image(path: str, keep_gray: bool = False) -> np.ndarray:
