@@ -82,3 +82,39 @@ def test_engine_rotated_mode_runs(rng):
     for item in out:
         x0, y0, x1, y1 = item["bbox"]
         assert x0 <= x1 and y0 <= y1
+
+
+def test_perspective_batched_matches_single(rng):
+    """extract_crops_perspective_batched (direct page-batch gather — no
+    [K, H, W, C] per-crop page materialization) is bit-identical to the
+    vmapped single-image warp it replaced up to fp32 rounding (same tap
+    weights, same clamp; gather-then-cast equals cast-then-gather for uint8
+    sources — only XLA's fusion reassociation differs, ~1e-7)."""
+    import jax
+
+    from tuatara_tpu.ops.warp import extract_crops_perspective_batched
+
+    B, H, W = 3, 64, 80
+    images = (rng.random((B, H, W, 3)) * 255).astype(np.uint8)
+    K = 7
+    page = rng.integers(0, B, size=K).astype(np.int32)
+    centers = rng.random((K, 2)) * [W, H]
+    ang = rng.random((K,)) * 2 * np.pi
+    L = 5 + rng.random((K,)) * 30
+    Hh = 2 + rng.random((K,)) * 8
+    c, s = np.cos(ang), np.sin(ang)
+    corners = np.stack([
+        centers + np.stack([-L * c + Hh * s, -L * s - Hh * c], -1),
+        centers + np.stack([L * c + Hh * s, L * s - Hh * c], -1),
+        centers + np.stack([L * c - Hh * s, L * s + Hh * c], -1),
+        centers + np.stack([-L * c - Hh * s, -L * s + Hh * c], -1),
+    ], axis=1).astype(np.float32)  # [K, 4, 2], some corners out of bounds
+
+    batched = extract_crops_perspective_batched(
+        jnp.asarray(images), jnp.asarray(page), jnp.asarray(corners), 16, 48)
+    single = jax.vmap(
+        lambda im, c4: extract_crops_perspective(
+            im.astype(jnp.float32), c4[None], 16, 48)[0]
+    )(jnp.asarray(images)[page], jnp.asarray(corners))
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(single),
+                               rtol=1e-6, atol=1e-6)

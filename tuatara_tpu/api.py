@@ -43,7 +43,7 @@ from tuatara_tpu.ops.resize import detect_canvas, pad32, resize_geometry
 from tuatara_tpu.ops.warp import (
     crop_rects,
     extract_crops_batched,
-    extract_crops_perspective,
+    extract_crops_perspective_batched,
 )
 from tuatara_tpu.tokenizer import Tokenizer
 
@@ -445,14 +445,11 @@ class OcrEngine:
                 images = images[..., None]
             order = jnp.argsort(~valid.reshape(-1), stable=True)[:bucket]
             if rotated:
-                # [bucket,H,W,C] uint8 source-page gather (the axis path
-                # avoids this — see extract_crops_batched).
-                src = jnp.take(images, order // k, axis=0)
+                # Direct batched gather — no [bucket,H,W,C] source-page
+                # materialization (see extract_crops_perspective_batched).
                 cr = jnp.take(rects.reshape(b * k, 4, 2), order, axis=0)
-                crops = jax.vmap(
-                    lambda im, c4: extract_crops_perspective(
-                        im.astype(jnp.float32), c4[None], rh, rw)[0]
-                )(src, cr)
+                crops = extract_crops_perspective_batched(
+                    images, order // k, cr, rh, rw)
             else:
                 rc = jnp.take(rects.reshape(b * k, 4), order, axis=0)
                 crops = extract_crops_batched(
@@ -855,7 +852,8 @@ class OcrEngine:
         logger.info("ocr timings %s", self.last_timings)
         return results
 
-    def run_mixed(self, images, max_batch: int = 16) -> List[List[Dict]]:
+    def run_mixed(self, images, max_batch: int = 16,
+                  depth: int = 2) -> List[List[Dict]]:
         """OCR a list of pages of ARBITRARY (mixed) sizes.
 
         Real document workloads mix page sizes; `run_pages` requires one
@@ -865,7 +863,17 @@ class OcrEngine:
         programs), and returns per-page results in the ORIGINAL order.
         Pages whose shape appears once simply run singly — identical results
         to calling `run` per page, with batching where it's free.
+
+        Batches are PIPELINED (`depth` dispatches in flight, like
+        run_stream): batch i's result fetch — a full host round-trip on
+        remote backends — overlaps batch i+1's compute, even across
+        different page shapes (each shape has its own compiled programs;
+        dispatch order is preserved). Speculative-recognition state is
+        per-batch-shape inside `_dispatch`, so interleaving shapes only
+        costs speculation hits, never correctness.
         """
+        from collections import deque
+
         order: Dict[Tuple, List[int]] = {}
         parsed = []
         for i, im in enumerate(images):
@@ -873,13 +881,21 @@ class OcrEngine:
             parsed.append(im)
             order.setdefault(tuple(im.shape), []).append(i)
         results: List[Optional[List[Dict]]] = [None] * len(parsed)
+        pending: "deque" = deque()  # (chunk indices, dispatch state)
         for idxs in order.values():
             for start in range(0, len(idxs), max_batch):
                 chunk = idxs[start:start + max_batch]
                 batch = np.stack([parsed[i] for i in chunk]) if len(chunk) > 1 \
                     else parsed[chunk[0]][None]
-                for i, res in zip(chunk, self.run_pages(batch)):
-                    results[i] = res
+                pending.append((chunk, self._dispatch(batch)))
+                if len(pending) > depth:
+                    chunk0, st = pending.popleft()
+                    for i, res in zip(chunk0, self._finalize(st)):
+                        results[i] = res
+        while pending:
+            chunk0, st = pending.popleft()
+            for i, res in zip(chunk0, self._finalize(st)):
+                results[i] = res
         return results  # type: ignore[return-value]
 
     def run_lines(self, image: np.ndarray, **group_kwargs) -> List[Dict]:

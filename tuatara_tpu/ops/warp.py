@@ -141,18 +141,11 @@ def extract_crops(
     return extract_crops_batched(image[None], page, rects, out_h, out_w)
 
 
-@partial(jax.jit, static_argnames=("out_h", "out_w"))
-def extract_crops_perspective(
-    image: jnp.ndarray,
-    corners: jnp.ndarray,
-    out_h: int = 32,
-    out_w: int = 128,
-) -> jnp.ndarray:
-    """Rectified crops from rotated-rect corners [K, 4, 2] (tl, tr, br, bl).
-
-    Bilinear interpolation of the quad's edges (for a parallelogram — every
-    rotated rect — this equals the full projective warp).
-    """
+def _quad_sample_points(corners: jnp.ndarray, out_h: int, out_w: int):
+    """Per-output-pixel source coordinates for quad corners [K, 4, 2]
+    (tl, tr, br, bl): bilinear interpolation of the quad's edges (for a
+    parallelogram — every rotated rect — this equals the full projective
+    warp). Returns (sx, sy), each [K, out_h, out_w]."""
     K = corners.shape[0]
     jj = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w
     ii = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h
@@ -166,4 +159,66 @@ def extract_crops_perspective(
     top = lerp(tl, tr, u)
     bot = lerp(bl, br, u)
     pts = top * (1 - v[..., None]) + bot * v[..., None]  # [K, H, W, 2]
-    return _bilinear_gather(image, pts[..., 0], pts[..., 1]) / 255.0
+    return pts[..., 0], pts[..., 1]
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def extract_crops_perspective(
+    image: jnp.ndarray,
+    corners: jnp.ndarray,
+    out_h: int = 32,
+    out_w: int = 128,
+) -> jnp.ndarray:
+    """Rectified crops from rotated-rect corners [K, 4, 2] (tl, tr, br, bl),
+    single image [H, W, C] (float, 0..255)."""
+    sx, sy = _quad_sample_points(corners, out_h, out_w)
+    return _bilinear_gather(image, sx, sy) / 255.0
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def extract_crops_perspective_batched(
+    images: jnp.ndarray,
+    page: jnp.ndarray,
+    corners: jnp.ndarray,
+    out_h: int = 32,
+    out_w: int = 128,
+) -> jnp.ndarray:
+    """Rectified crops gathered STRAIGHT from the page batch.
+
+    images [B, H, W, C] (uint8 or float, 0..255) + per-crop source page
+    indices [K] + corners [K, 4, 2] -> crops [K, out_h, out_w, C] in [0, 1].
+
+    Replaces the old rotated-path pattern — `jnp.take(images, page)` into a
+    [K, H, W, C] per-crop page slab, then a vmapped single-image warp —
+    whose page materialization alone was ~400 MB of HBM traffic per dense
+    256-crop batch (XLA lowers the take as a dynamic-slice copy loop; the
+    axis-aligned path killed the same pattern with its two-tap row gather).
+    A slanted output row crosses arbitrarily many source rows, so the
+    axis path's two-row trick does not apply; instead the 4 bilinear taps
+    gather directly from the flattened batch with per-crop page offsets, in
+    the SOURCE dtype (uint8 taps are 4x less gather traffic than pre-cast
+    fp32). Equal to the vmapped single-image path up to fp32 rounding
+    (gather-then-cast equals cast-then-gather; same tap weights, same
+    clamp; only XLA fusion reassociation differs, ~1e-7 — tested)."""
+    B, H, W, C = images.shape
+    K = corners.shape[0]
+    sx, sy = _quad_sample_points(corners, out_h, out_w)
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = (sx - x0)[..., None]
+    wy = (sy - y0)[..., None]
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    flat = images.reshape(B * H * W, C)
+    base = page[:, None, None].astype(jnp.int32) * H
+
+    def at(yy, xx):
+        idx = (base + yy) * W + xx
+        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(
+            K, out_h, out_w, C).astype(jnp.float32)
+
+    top = at(y0, x0) * (1 - wx) + at(y0, x1) * wx
+    bot = at(y1, x0) * (1 - wx) + at(y1, x1) * wx
+    return (top * (1 - wy) + bot * wy) / 255.0
