@@ -2,32 +2,47 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Headline metric: end-to-end OCR throughput (detect + postproc + crops +
-PARSEQ greedy decode + host string assembly) over the reference FUNSD page
-(funsd_0001129658.png), batched + pipelined. `vs_baseline` is measured
-against the north-star target of 100 pages/sec (BASELINE.md — the reference
-publishes no numbers; its apparatus is one wall-clock print,
-tuatara.cpp:507-509).
+Headline metric (round 4+): **dense** end-to-end OCR throughput — detect +
+postproc + crops + PARSEQ greedy decode + host string assembly — over the
+reference FUNSD page (funsd_0001129658.png) at the recognition load trained
+weights produce on that page: 116 word boxes/page, the repo's own
+trained-weight fixture geometry (tests/fixtures/golden_default.json). Model
+weights are randomly initialized (no pretrained checkpoints exist in this
+zero-egress environment) and random weights detect ~nothing, so the bench
+runs the REAL detection program every batch and substitutes the fixture's
+box geometry for its outputs — compute cost is then identical to serving
+trained weights on this page (the reference's workload is its per-component
+loop over every detected word, tuatara.cpp:409-418,450-475). The sparse
+number (what random weights actually detect, ~1 box/page — the pre-round-4
+headline) is kept as `sparse_pages_per_sec_e2e` for continuity; it is NOT a
+trained-workload rate. `vs_baseline` is the dense headline against the
+north-star target of 100 pages/sec (BASELINE.md — the reference publishes
+no numbers; its apparatus is one wall-clock print, tuatara.cpp:507-509).
 
 The artifact carries its own transfer evidence: `h2d_bandwidth_mbs` is the
 best of repeated PIPELINED host->device bandwidth probes (page-batch-sized
 jax.device_puts all in flight, one fence — what the serving producer
 achieves; a serial put-and-block measures only the tunnel's degraded
-per-call latency, kept as `h2d_serial_put_mbs`) and of the headline
-stream's own achieved byte rate (`e2e_implied_h2d_mbs`);
-`transfer_bound_ceiling_pages_per_sec` is the throughput that
-demonstrated bandwidth admits for this page's bytes. e2e at/near the
-ceiling = transfer-bound; far under it with high compute_pages_per_sec
-(the device-resident rate) = engine inefficiency. Samples are recorded
-raw because tunnel bandwidth drifts 4x within a single run.
+per-call latency, kept as `h2d_serial_put_mbs`) and of the sparse stream's
+own achieved byte rate (`e2e_implied_h2d_mbs`);
+`transfer_bound_ceiling_pages_per_sec` is the throughput that demonstrated
+bandwidth admits for this page's bytes. e2e at/near the ceiling =
+transfer-bound; far under it with high compute pages/sec (the
+device-resident rate) = engine inefficiency.
+
+MFU fields make "emitter-bound" claims falsifiable round-over-round:
+`mfu_detect` = cost-analysis FLOPs of the compiled detect program over its
+measured device time; `mfu_recognize_encoder` = closed-form ViT-S encoder
+FLOPs over the measured encoder-only device time (the AR decode's
+early-exit makes its FLOPs data-dependent, so the deterministic encoder —
+which dominates the dense recognition budget — is the pinned ratio). Peak
+is 197 bf16 TFLOP/s per v5e chip (394 int8).
 
 All five BASELINE.md configs are recorded by default: (1) FUNSD dense batch
-(headline), (2) resume single-image, (3) rotated rectification, (4)
-mixed-size batching via run_mixed (table + FUNSD + resume), (5) beam decode.
-Model weights are randomly initialized (no pretrained checkpoints exist in
-this zero-egress environment); compute cost is identical to trained weights.
-Box count per page depends on weights, so the bench also reports ms/crop for
-the recognizer at a fixed 256-crop slab, the second BASELINE.md metric.
+(headline) + the sparse variant, (2) resume single-image, (3) rotated
+rectification, (4) mixed-size batching via run_mixed (table + FUNSD +
+resume), (5) beam decode. The ms/crop table covers bf16 AR+refine, NAR,
+extended charset, and int8 dynamic/calibrated encoder variants.
 """
 
 from __future__ import annotations
@@ -40,29 +55,108 @@ import time
 
 import numpy as np
 
+from tuatara_tpu.utils.image import asset_path
+
+FUNSD = asset_path("funsd_0001129658.png")
+FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "tests", "fixtures", "golden_default.json")
+
 PAGES = 16
 WARMUP = 2
 ITERS = int(os.environ.get("BENCH_ITERS", "40"))
+DENSE_ITERS = int(os.environ.get("BENCH_DENSE_ITERS", "12"))
 TARGET_PAGES_PER_SEC = 100.0
-
-IMAGES = "/root/reference/images"
-FUNSD = f"{IMAGES}/funsd_0001129658.png"
+PEAK_BF16 = 197e12  # v5e per-chip peak (jax-ml.github.io/scaling-book)
+PEAK_INT8 = 394e12
 
 
 def _best_stream(engine, batches, repeats=2, **kw):
-    import time
-
     best = 0.0
     n_pages = sum(b.shape[0] if b.ndim >= 3 else 1 for b in batches)
+    out = None
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = engine.run_stream(list(batches), **kw)
-        best = max(best, n_pages / (time.perf_counter() - t0))
+        o = engine.run_stream(list(batches), **kw)
+        v = n_pages / (time.perf_counter() - t0)
+        if v > best:
+            best, out = v, o
     return best, out
+
+
+def _forced_geometry(h, w, max_boxes, batch):
+    """Fixture box geometry -> device-ready forced detection outputs.
+
+    Returns {bbox [B,K,4] f32, rects [B,K,4] f32, valid [B,K] bool,
+    count [B] i32} built from the trained-weight fixture's word boxes for
+    the FUNSD page — the realistic recognition load (VERDICT r3 task 1)."""
+    import jax.numpy as jnp
+
+    with open(FIXTURE) as f:
+        items = json.load(f)["images"]["funsd_0001129658"]
+    bb = np.array([r["bbox"] for r in items], np.float32)  # [n, 4] xyxy
+    n = bb.shape[0]
+    assert n <= max_boxes
+    # crop windows, cv-boundingRect style (ops/warp.crop_rects semantics)
+    x0 = np.clip(np.floor(bb[:, 0]), 0, w - 1)
+    y0 = np.clip(np.floor(bb[:, 1]), 0, h - 1)
+    x1 = np.clip(np.ceil(bb[:, 2]) + 1, x0 + 1, w)
+    y1 = np.clip(np.ceil(bb[:, 3]) + 1, y0 + 1, h)
+    rects = np.zeros((max_boxes, 4), np.float32)
+    rects[:n] = np.stack([x0, y0, x1, y1], -1)
+    bbox = np.zeros((max_boxes, 4), np.float32)
+    bbox[:n] = bb
+    valid = np.zeros((max_boxes,), bool)
+    valid[:n] = True
+    forced = {
+        "bbox": jnp.asarray(np.broadcast_to(bbox, (batch, max_boxes, 4)).copy()),
+        "rects": jnp.asarray(np.broadcast_to(rects, (batch, max_boxes, 4)).copy()),
+        "valid": jnp.asarray(np.broadcast_to(valid, (batch, max_boxes)).copy()),
+        "count": jnp.full((batch,), n, jnp.int32),
+    }
+    return forced, n
+
+
+def _dense_engine(base_cls, forced):
+    """Engine that runs the REAL detect program but serves the forced box
+    geometry as its outputs — the trained-weight workload simulator. The
+    detect program executes fully on dispatch (its cost is weight-
+    independent); only the returned geometry is substituted."""
+
+    class ForcedDetEngine(base_cls):
+        def _detect_fn(self, b, h, w, c):
+            real = super()._detect_fn(b, h, w, c)
+            if b != forced["count"].shape[0]:
+                return real
+
+            def fn(params, images):
+                det = real(params, images)
+                return {**det, **forced}
+
+            return fn
+
+    return ForcedDetEngine
+
+
+def _queued_ms(fn, args, n=5):
+    """Sustained device time per call: queue n dispatches, fence once."""
+    import jax
+
+    jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(n)]
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) / n * 1000
+
+
+def _ms_per_crop(engine, crops, n_crops=256):
+    rec = engine._recognize_fn(n_crops)
+    return _queued_ms(lambda p, c: rec(p, c)[0],
+                      (engine.parseq_params, crops)) / n_crops
 
 
 def main() -> int:
     import jax
+    import jax.numpy as jnp
 
     from tuatara_tpu.api import OcrEngine
     from tuatara_tpu.config import DEFAULT_CONFIG
@@ -74,10 +168,17 @@ def main() -> int:
     # carries a third of the bytes. Results are bit-identical to the RGB
     # conversion (the engine broadcasts the channel on device).
     img = load_image(FUNSD, keep_gray=True)
+    h, w = img.shape
     pages = np.broadcast_to(img, (PAGES,) + img.shape).copy()
     page_bytes = pages.nbytes / PAGES
 
-    engine = OcrEngine()
+    # Real converted weights when present (setup.sh: TUATARA_WEIGHTS=weights
+    # python bench.py) — then the sparse config IS the trained workload;
+    # random weights otherwise (zero-egress envs).
+    weights_dir = os.environ.get("TUATARA_WEIGHTS") or None
+    if weights_dir and not os.path.isdir(weights_dir):
+        weights_dir = None
+    engine = OcrEngine(weights_dir=weights_dir)
     for _ in range(WARMUP):
         engine.run_pages(pages)
 
@@ -103,84 +204,43 @@ def main() -> int:
 
     # Tunnel bandwidth swings run to run AND within a run; probe several
     # times (again after the e2e sweep, below) and report the samples plus
-    # their median so one lucky/stalled probe can't mislead the artifact.
+    # their best so one lucky/stalled probe can't mislead the artifact.
     bw_samples = [probe_bw(), probe_bw()]
     extras["h2d_serial_put_mbs"] = round(serial_bw / 1e6, 1)
     extras["page_kb"] = round(page_bytes / 1e3, 1)
 
-    # --- end-to-end pages/sec (pipelined serving loop: H2D overlaps
-    # compute). Long stream so steady state dominates; (prefetch, depth)
-    # swept and recorded — best wins the headline. Best-of-N runs per
-    # config: the dev host->TPU tunnel is shared and a single run can catch
-    # an unrelated transfer stall. ---
-    pages_per_sec = 0.0
-    sweep = {}
-    best_pd = (4, 2)
-    for prefetch, depth in ((4, 2), (8, 3), (16, 4)):
-        v, out = _best_stream(engine, [pages] * ITERS, repeats=2,
+    # --- DENSE end-to-end pages/sec (the headline): real detection, and
+    # recognition forced to the fixture's 116-box/page geometry — the load
+    # trained weights produce on this page. Pipelined serving loop. ---
+    forced, n_boxes = _forced_geometry(h, w, DEFAULT_CONFIG.max_boxes, PAGES)
+    dense = _dense_engine(OcrEngine, forced)()
+    dense.run_pages(pages)  # compile detect + dense crop/recognize slab
+    dense.run_pages(pages)  # steady-state speculation
+    extras["dense_boxes_per_page"] = n_boxes
+
+    dense_pps = 0.0
+    dsweep = {}
+    for prefetch, depth in ((4, 2), (8, 3)):
+        v, out = _best_stream(dense, [pages] * DENSE_ITERS, repeats=2,
                               prefetch=prefetch, depth=depth)
-        sweep[f"p{prefetch}_d{depth}"] = round(v, 1)
-        if v > pages_per_sec:
-            pages_per_sec, all_results, best_pd = v, out, (prefetch, depth)
-    # More best-of passes at the winning config: tunnel bandwidth drifts
-    # within a run (samples below; 2x swings measured inside one
-    # invocation), so the headline should reflect the best demonstrated
-    # steady-state window — the same demonstrated-capability standard the
-    # ceiling field uses. Four extra windows cost ~40 s and double the
-    # chance of overlapping a good tunnel phase.
-    v, out = _best_stream(engine, [pages] * ITERS, repeats=4,
-                          prefetch=best_pd[0], depth=best_pd[1])
-    sweep["best_rerun"] = round(v, 1)
-    if v > pages_per_sec:
-        pages_per_sec, all_results = v, out
-    extras["e2e_sweep"] = sweep
-    # Post-sweep probe samples: the tunnel state DURING the e2e runs is
-    # what matters, and it drifts hard within a run (samples have measured
-    # 14-66 MB/s in ONE bench invocation). The ceiling therefore uses the
-    # BEST observed byte rate — probe samples and the stream's own achieved
-    # rate — i.e. a demonstrated-capability bound: e2e at or near it means
-    # the stream moved input as fast as the transport was ever seen to go
-    # (transfer-bound); e2e far under it while compute-only is high would
-    # indicate engine inefficiency. Median would understate: a congested
-    # probe moment must not yield a "ceiling" below throughput the stream
-    # itself already delivered.
-    bw_samples += [probe_bw(), probe_bw()]
-    implied = pages_per_sec * page_bytes
-    bw = max(bw_samples + [implied])
-    extras["h2d_bandwidth_mbs"] = round(bw / 1e6, 1)
-    extras["h2d_bandwidth_samples_mbs"] = [round(s / 1e6, 1) for s in bw_samples]
-    extras["transfer_bound_ceiling_pages_per_sec"] = round(bw / page_bytes, 1)
-    # Bytes the headline stream actually moved per second (the cross-check
-    # and a floor on the tunnel's capability during the stream).
-    extras["e2e_implied_h2d_mbs"] = round(implied / 1e6, 1)
-    boxes = sum(len(r) for batch in all_results for r in batch) // ITERS
-    # Snapshot now: later sections (mixed/beam/quantized) overwrite
-    # engine.last_timings with their own final batch.
-    headline_timings = dict(engine.last_timings)
+        dsweep[f"p{prefetch}_d{depth}"] = round(v, 1)
+        if v > dense_pps:
+            dense_pps, dense_results = v, out
+    v, out = _best_stream(dense, [pages] * DENSE_ITERS, repeats=2,
+                          prefetch=4, depth=2)
+    dsweep["rerun"] = round(v, 1)
+    if v > dense_pps:
+        dense_pps, dense_results = v, out
+    extras["dense_e2e_sweep"] = dsweep
+    dense_timings = dict(dense.last_timings)
+    dense_box_check = sum(
+        len(r) for batch in dense_results for r in batch) // DENSE_ITERS
 
-    # --- compute-only pages/sec (device-resident input; what non-tunnel
-    # hardware with PCIe/DMA ingest would see end-to-end). Same pipelined
-    # serving loop, H2D excluded. ---
+    # Dense compute-only (device-resident input).
     pages_dev = jax.device_put(pages)
-    engine.run_pages(pages_dev)
-    compute_pages_per_sec, _ = _best_stream(
-        engine, [pages_dev] * 10, repeats=2, depth=2)
-
-    # --- recognizer ms/crop at a full 256-crop slab ---
-    import jax.numpy as jnp
-
-    crops = jnp.asarray(
-        np.random.default_rng(0).random((256, 32, 128, 3), np.float32)
-    )
-    rec = engine._recognize_fn(256)
-    rec(engine.parseq_params, crops)[0].block_until_ready()
-    # Sustained throughput: queue the dispatches back-to-back and fence once,
-    # so the dev tunnel's ~30 ms per-call round-trip latency (hidden by the
-    # serving loop's pipelining in practice) isn't billed to every call.
-    t0 = time.perf_counter()
-    outs = [rec(engine.parseq_params, crops)[0] for _ in range(5)]
-    jax.block_until_ready(outs)
-    ms_per_crop = (time.perf_counter() - t0) / 5 / 256 * 1000
+    dense.run_pages(pages_dev)
+    dense_compute_pps, _ = _best_stream(
+        dense, [pages_dev] * 8, repeats=2, depth=2)
 
     # --- extras, each under a wall-clock budget so a cold compile cache
     # can never time out the whole bench: once the budget is exceeded the
@@ -198,64 +258,126 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — headline must survive
             extras[name + "_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    def extended_charset():
-        # BASELINE.md config (5)'s charset clause: the permuted-AR +
-        # refinement number above uses the 94-char table; this records the
-        # same recognizer path with the space-aware EXTENDED_CHARSET head
-        # (charset_size=95 — the reference's own retrain TODO, README.md:42).
+    def sparse_e2e():
+        # The pre-round-4 headline: whatever random weights detect (~1
+        # box/page). Kept for continuity + as the transfer-ceiling probe
+        # workload (it is transfer-bound; dense is compute-bound).
+        nonlocal bw_samples
+        pps = 0.0
+        sweep = {}
+        for prefetch, depth in ((4, 2), (8, 3)):
+            v, out = _best_stream(engine, [pages] * ITERS, repeats=2,
+                                  prefetch=prefetch, depth=depth)
+            sweep[f"p{prefetch}_d{depth}"] = round(v, 1)
+            pps = max(pps, v)
+        extras["sparse_e2e_sweep"] = sweep
+        extras["sparse_pages_per_sec_e2e"] = round(pps, 3)
+        # Post-sweep probes: the tunnel state DURING the e2e runs is what
+        # matters and it drifts hard within a run. The ceiling uses the
+        # BEST observed byte rate (probes + the stream's own achieved
+        # rate) — a demonstrated-capability bound.
+        bw_samples += [probe_bw(), probe_bw()]
+        implied = pps * page_bytes
+        bw = max(bw_samples + [implied])
+        extras["h2d_bandwidth_mbs"] = round(bw / 1e6, 1)
+        extras["h2d_bandwidth_samples_mbs"] = [
+            round(s / 1e6, 1) for s in bw_samples]
+        extras["transfer_bound_ceiling_pages_per_sec"] = round(
+            bw / page_bytes, 1)
+        extras["e2e_implied_h2d_mbs"] = round(implied / 1e6, 1)
+        engine.run_pages(pages_dev)
+        v, _ = _best_stream(engine, [pages_dev] * 10, repeats=2, depth=2)
+        extras["sparse_compute_pages_per_sec"] = round(v, 3)
+
+    # --- recognizer ms/crop table at a full 256-crop slab ---
+    crops = jnp.asarray(
+        np.random.default_rng(0).random((256, 32, 128, 3), np.float32))
+
+    def ms_crop_bf16():
+        extras["ms_per_crop_parseq"] = round(_ms_per_crop(engine, crops), 4)
+
+    def ms_crop_int8():
+        qeng = OcrEngine(
+            dataclasses.replace(DEFAULT_CONFIG, quantized_serving=True))
+        extras["ms_per_crop_parseq_int8"] = round(
+            _ms_per_crop(qeng, crops), 4)
+        qeng.calibrate(pages)
+        extras["ms_per_crop_parseq_int8_calibrated"] = round(
+            _ms_per_crop(qeng, crops), 4)
+
+    def ms_crop_nar():
+        nar_eng = OcrEngine(
+            dataclasses.replace(DEFAULT_CONFIG, decode_mode="nar"))
+        extras["ms_per_crop_parseq_nar"] = round(
+            _ms_per_crop(nar_eng, crops), 4)
+
+    def ms_crop_extended():
+        # BASELINE.md config (5)'s charset clause: the space-aware
+        # EXTENDED_CHARSET head (charset_size=95 — the reference's own
+        # retrain TODO, README.md:42).
         from tuatara_tpu.config import ParseqConfig
         from tuatara_tpu.tokenizer import EXTENDED_CHARSET
 
         ext_eng = OcrEngine(
             dataclasses.replace(DEFAULT_CONFIG, charset=EXTENDED_CHARSET),
             parseq_config=ParseqConfig(charset_size=95))
-        erec = ext_eng._recognize_fn(256)
-        erec(ext_eng.parseq_params, crops)[0].block_until_ready()
-        t0 = time.perf_counter()
-        outs = [erec(ext_eng.parseq_params, crops)[0] for _ in range(5)]
-        jax.block_until_ready(outs)
         extras["ms_per_crop_parseq_extended_charset"] = round(
-            (time.perf_counter() - t0) / 5 / 256 * 1000, 4)
+            _ms_per_crop(ext_eng, crops), 4)
 
-    def nar():
-        # NAR decode mode (single-pass + cloze refinement; the PARSEQ
-        # paper's non-AR mode) — the low-latency recognizer variant.
-        nar_eng = OcrEngine(
-            dataclasses.replace(DEFAULT_CONFIG, decode_mode="nar"))
-        nrec = nar_eng._recognize_fn(256)
-        nrec(nar_eng.parseq_params, crops)[0].block_until_ready()
-        t0 = time.perf_counter()
-        outs = [nrec(nar_eng.parseq_params, crops)[0] for _ in range(5)]
-        jax.block_until_ready(outs)
-        extras["ms_per_crop_parseq_nar"] = round(
-            (time.perf_counter() - t0) / 5 / 256 * 1000, 4)
+    def mfu():
+        # Detect: compiled-program FLOPs (XLA cost analysis; the CC
+        # while-loop body is counted once but is <1% of the convs) over
+        # measured queued device time.
+        detf = engine._detect_fn(PAGES, h, w, 1)
+        ca = detf.lower(engine.craft_params, pages_dev).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        det_flops = float(ca["flops"])
+        det_ms = _queued_ms(detf, (engine.craft_params, pages_dev))
+        extras["detect_ms_per_batch"] = round(det_ms, 2)
+        extras["detect_tflops_per_batch"] = round(det_flops / 1e12, 3)
+        extras["mfu_detect"] = round(det_flops / (det_ms / 1e3) / PEAK_BF16, 4)
 
-    resume_img = load_image(f"{IMAGES}/resume_example.png")
+        # Recognizer encoder: closed-form ViT FLOPs (deterministic — the AR
+        # decode's early-exit makes whole-recognizer FLOPs data-dependent)
+        # over measured encoder-only device time.
+        from tuatara_tpu.models.parseq import parseq_encode
+
+        pcfg = engine.parseq_config
+        N, S, D = 256, pcfg.seq_len, pcfg.embed_dim
+        ph, pw = pcfg.patch_size
+        per_block = (4 * S * D * D + 2 * S * S * D
+                     + 2 * S * D * int(D * pcfg.enc_mlp_ratio)) * 2
+        enc_flops = N * (S * (ph * pw * 3) * D * 2
+                         + pcfg.enc_depth * per_block)
+        encf = jax.jit(lambda p, c: parseq_encode(p, c, pcfg))
+        enc_ms = _queued_ms(encf, (engine.parseq_params, crops))
+        extras["encoder_ms_256crops"] = round(enc_ms, 2)
+        extras["mfu_recognize_encoder"] = round(
+            enc_flops / (enc_ms / 1e3) / PEAK_BF16, 4)
+
+    resume_img = load_image(asset_path("resume_example.png"))
 
     def resume():
-        # BASELINE.md config (2): resume single-image latency path.
+        # BASELINE.md config (2): resume single-image latency path,
+        # pipelined: depth-2 dispatch chaining via run_stream (batch=1).
         engine.run(resume_img)
-        t0 = time.perf_counter()
-        for _ in range(3):
-            engine.run(resume_img)
-        extras["resume_pages_per_sec"] = round(
-            3 / (time.perf_counter() - t0), 3)
+        v, _ = _best_stream(engine, [resume_img[None]] * 8, repeats=2,
+                            depth=2, prefetch=4)
+        extras["resume_pages_per_sec"] = round(v, 3)
 
     def rotated():
         # BASELINE.md config (3): rotated-box rectification path.
         rot_eng = OcrEngine(
             dataclasses.replace(DEFAULT_CONFIG, box_mode="rotated"))
-        rot_img = load_image(f"{IMAGES}/rotated_text.png")
+        rot_img = load_image(asset_path("rotated_text.png"))
         rot_eng.run(rot_img)
-        t0 = time.perf_counter()
-        for _ in range(3):
-            rot_eng.run(rot_img)
-        extras["rotated_rectify_pages_per_sec"] = round(
-            3 / (time.perf_counter() - t0), 3)
+        v, _ = _best_stream(rot_eng, [rot_img[None]] * 8, repeats=2,
+                            depth=2, prefetch=4)
+        extras["rotated_rectify_pages_per_sec"] = round(v, 3)
 
     def mixed_sizes():
         # BASELINE.md config (4): mixed page sizes via run_mixed.
-        table_img = load_image(f"{IMAGES}/table_english.png")
+        table_img = load_image(asset_path("table_english.png"))
         mixed = [img[..., None], table_img, resume_img, img[..., None],
                  table_img, resume_img]
         engine.run_mixed(mixed)  # compile all shapes
@@ -274,22 +396,25 @@ def main() -> int:
         extras["beam_compute_pages_per_sec"] = round(v, 3)
 
     def quantized():
-        # Opt-in int8 detector trunk (OcrConfig.quantized_serving):
-        # an extra metric, not the headline — not bit-parity (config.py).
-        qeng = OcrEngine(
-            dataclasses.replace(DEFAULT_CONFIG, quantized_serving=True))
+        # Opt-in int8 trunk+encoder at the DENSE workload (the load where
+        # quantization matters): an extra metric, not the headline — not
+        # bit-parity (config.py).
+        qcfg = dataclasses.replace(DEFAULT_CONFIG, quantized_serving=True)
+        qeng = _dense_engine(OcrEngine, forced)(qcfg)
         qeng.run_pages(pages_dev)
         v, _ = _best_stream(qeng, [pages_dev] * 6, repeats=2, depth=2)
-        extras["quantized_compute_pages_per_sec"] = round(v, 3)
-        # Calibrated-static activation scales (engine.calibrate): drops the
-        # per-forward abs-max reduces that dynamic quantization pays.
+        extras["quantized_dense_compute_pages_per_sec"] = round(v, 3)
         qeng.calibrate(pages)
         qeng.run_pages(pages_dev)
         v, _ = _best_stream(qeng, [pages_dev] * 6, repeats=2, depth=2)
-        extras["quantized_calibrated_compute_pages_per_sec"] = round(v, 3)
+        extras["quantized_calibrated_dense_compute_pages_per_sec"] = round(v, 3)
 
-    extra("extended_charset", extended_charset)
-    extra("nar", nar)
+    extra("sparse_e2e", sparse_e2e)
+    extra("ms_crop_bf16", ms_crop_bf16)
+    extra("ms_crop_int8", ms_crop_int8)
+    extra("ms_crop_nar", ms_crop_nar)
+    extra("ms_crop_extended", ms_crop_extended)
+    extra("mfu", mfu)
     extra("resume", resume)
     extra("rotated", rotated)
     extra("mixed", mixed_sizes)
@@ -297,18 +422,17 @@ def main() -> int:
     extra("quantized", quantized)
 
     print(json.dumps({
-        "metric": "funsd_pages_per_sec_e2e",
-        "value": round(pages_per_sec, 3),
+        "metric": "funsd_pages_per_sec_dense_e2e",
+        "value": round(dense_pps, 3),
         "unit": "pages/sec",
-        "vs_baseline": round(pages_per_sec / TARGET_PAGES_PER_SEC, 4),
-        "compute_pages_per_sec": round(compute_pages_per_sec, 3),
-        "ms_per_crop_parseq": round(ms_per_crop, 4),
-        "boxes_per_run": boxes,
+        "vs_baseline": round(dense_pps / TARGET_PAGES_PER_SEC, 4),
+        "dense_compute_pages_per_sec": round(dense_compute_pps, 3),
+        "boxes_per_run": dense_box_check,
         "page_batch": PAGES,
-        "stream_iters": ITERS,
+        "dense_stream_iters": DENSE_ITERS,
         "device": str(jax.devices()[0]),
         "timings_last": {k: round(v, 4) if isinstance(v, float) else v
-                         for k, v in headline_timings.items()},
+                         for k, v in dense_timings.items()},
         **extras,
     }))
     return 0
