@@ -196,6 +196,11 @@ class ParseqConfig:
     refine_iters: int = 1
     dropout: float = 0.1
     layer_norm_eps: float = 1e-6
+    # Encoder lowering: "xla" (default; the parity-tested block chain) or
+    # "pallas" (ops/pallas/vit.py fused-block kernel — the serving speed
+    # path; same math, NOT bit-identical, ~bf16-accumulation-order deltas.
+    # fp32 compute always uses the XLA path regardless).
+    encoder_impl: str = "xla"
 
     @property
     def num_tokens(self) -> int:

@@ -92,6 +92,7 @@ def parseq_encode(
     images: jnp.ndarray,
     cfg: ParseqConfig = ParseqConfig(),
     compute_dtype=jnp.bfloat16,
+    _pallas_interpret: bool = False,
 ) -> jnp.ndarray:
     """Encode crops [N, H, W, 3] (float in [0,1]) -> memory [N, S, D]."""
     n, h, w, c = images.shape
@@ -103,8 +104,25 @@ def parseq_encode(
     x = x.reshape(n, gh * gw, ph * pw * c)
     x = L.linear(params["patch_embed"], x, compute_dtype)
     x = x + params["pos_embed"]
-    for blk in params["enc"]:
-        x = L.vit_block(blk, x, cfg.enc_heads, cfg.layer_norm_eps, compute_dtype)
+    use_pallas = (
+        cfg.encoder_impl == "pallas"
+        and jnp.dtype(compute_dtype) == jnp.bfloat16
+        and "wq" not in params["patch_embed"]  # int8 path keeps XLA lowering
+        and n % 8 == 0
+    )
+    if use_pallas:
+        from tuatara_tpu.ops.pallas.vit import (
+            stack_vit_block_weights, vit_blocks_pallas,
+        )
+
+        stacked = stack_vit_block_weights(params["enc"])
+        x = vit_blocks_pallas(x.astype(jnp.float32), stacked, cfg.enc_heads,
+                              cfg.layer_norm_eps,
+                              interpret=_pallas_interpret)
+    else:
+        for blk in params["enc"]:
+            x = L.vit_block(blk, x, cfg.enc_heads, cfg.layer_norm_eps,
+                            compute_dtype)
     return L.layernorm(params["enc_norm"], x, cfg.layer_norm_eps)
 
 
