@@ -38,28 +38,49 @@ def fit_recognizer(
     seed: int = 0,
     data: Optional[Dict[str, np.ndarray]] = None,
     log_every: int = 50,
+    resample: bool = False,
+    charset_pool: Optional[str] = None,
+    tight: bool = False,
+    init_params: Optional[dict] = None,
 ) -> Tuple[dict, List[float]]:
-    """Train PARSEQ on synthetic rendered words; returns (params, losses)."""
+    """Train PARSEQ on synthetic rendered words; returns (params, losses).
+
+    `resample=False` (default) trains on ONE fixed batch — the overfit /
+    smoke-train mode the regression tests use. `resample=True` renders a
+    FRESH `word_batch` every step (same recipe as `fit_detector`), which is
+    what a recognizer that must GENERALIZE to held-out renders needs; the
+    jitted step compiles once (fixed shapes), only the host-side render is
+    per-step. Passing `data` with MORE rows than `batch_size` treats it as
+    a pre-rendered pool and samples a random minibatch per step — the
+    fast path on accelerators (rendering is host-side and serial; one
+    up-front render amortizes it across all steps). `charset_pool` narrows
+    the sampled characters (default: tokenizer alphanumerics).
+    `init_params` resumes/warm-starts training.
+    """
     cfg = cfg or ParseqConfig()
     tok = tokenizer or Tokenizer()
     rng = np.random.default_rng(seed)
-    if data is None:
+
+    def fresh():
         # Rendered word length must fit the label budget: longer words
         # would silently train premature EOS on truncated labels while the
         # crop still shows the full word.
-        data = word_batch(batch_size, tok, rng, max_length=cfg.max_label_length,
-                          max_len=min(8, cfg.max_label_length))
+        return word_batch(batch_size, tok, rng, max_length=cfg.max_label_length,
+                          max_len=min(8, cfg.max_label_length),
+                          charset=charset_pool, tight=tight)
 
-    params = init_parseq_params(jax.random.PRNGKey(seed), cfg)
+    if data is None:
+        data = fresh()
+
+    params = init_params or init_parseq_params(jax.random.PRNGKey(seed), cfg)
     tx = optax.adam(lr)
     opt_state = tx.init(params)
 
     @jax.jit
-    def step(params, opt_state, key):
+    def step(params, opt_state, crops, labels, lengths, key):
         def loss_fn(p):
             loss, m = parseq_plm_loss(
-                p, jnp.asarray(data["crops"]), jnp.asarray(data["labels"]),
-                jnp.asarray(data["lengths"]), key, cfg, k_perms=k_perms,
+                p, crops, labels, lengths, key, cfg, k_perms=k_perms,
             )
             return loss, m
 
@@ -67,11 +88,29 @@ def fit_recognizer(
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    pool = None
+    if data["crops"].shape[0] > batch_size:
+        # Pre-rendered pool: keep it device-resident once; sample indices
+        # host-side, gather the minibatch on device (fixed shapes).
+        pool = {k: jnp.asarray(v) for k, v in data.items() if k != "texts"}
+
     losses = []
     key = jax.random.PRNGKey(seed + 1)
     for i in range(steps):
         key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, sub)
+        if pool is not None:
+            idx = jnp.asarray(
+                rng.integers(0, pool["crops"].shape[0], batch_size))
+            params, opt_state, loss = step(
+                params, opt_state, jnp.take(pool["crops"], idx, axis=0),
+                jnp.take(pool["labels"], idx, axis=0),
+                jnp.take(pool["lengths"], idx, axis=0), sub)
+        else:
+            if resample and i > 0:
+                data = fresh()
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(data["crops"]),
+                jnp.asarray(data["labels"]), jnp.asarray(data["lengths"]), sub)
         if i % log_every == 0 or i == steps - 1:
             losses.append(float(loss))
     return params, losses
@@ -86,6 +125,8 @@ def fit_detector(
     words_per_page: int = 4,
     seed: int = 0,
     log_every: int = 100,
+    data_fn=None,
+    init_params: Optional[dict] = None,
 ) -> Tuple[dict, List[float]]:
     """Train CRAFT on synthetic text-like pages; returns (params, losses).
 
@@ -100,7 +141,7 @@ def fit_detector(
     from tuatara_tpu.utils.data import detection_batch
 
     cfg = cfg or CraftConfig()
-    params = init_craft_params(jax.random.PRNGKey(seed), cfg)
+    params = init_params or init_craft_params(jax.random.PRNGKey(seed), cfg)
     tx = optax.adam(lr)
     opt_state = tx.init(params)
     rng = np.random.default_rng(seed)
@@ -122,8 +163,11 @@ def fit_detector(
 
     losses = []
     for i in range(steps):
-        d = detection_batch(batch_size, rng, size=page_size,
-                            words_per_page=words_per_page)
+        # data_fn overrides the built-in bar-page generator (e.g. rendered
+        # TEXT pages from utils/data.synthetic_text_pages for a detector
+        # that must find real glyphs); must return {"pages", "heat"}.
+        d = data_fn() if data_fn is not None else detection_batch(
+            batch_size, rng, size=page_size, words_per_page=words_per_page)
         params, opt_state, loss = step(params, opt_state,
                                        jnp.asarray(d["pages"]),
                                        jnp.asarray(d["heat"]))

@@ -29,14 +29,39 @@ def render_word(
     rng: np.random.Generator,
     height: int = 32,
     width: int = 128,
+    tight: bool = False,
 ) -> np.ndarray:
-    """Render one word -> [height, width, 3] float32 in [0, 1]."""
+    """Render one word -> [height, width, 3] float32 in [0, 1].
+
+    `tight=False` (default): draw at native bitmap-font size with position
+    jitter inside the canvas — the cheap smoke-train recipe.
+    `tight=True`: draw at native size, crop to the text's bounding box plus
+    independent random per-side margins (0-7 px), then resize to
+    [height, width] — the geometry the serving pipeline produces: a
+    DETECTED word box (which CRAFT's per-component dilation pads by a few
+    pixels on each side, asymmetrically) stretched to the recognizer's
+    32x128 input (ops/warp.extract_crops). Training under the margin
+    distribution the detector actually emits is what closes the word-level
+    -> end-to-end accuracy gap."""
     from PIL import Image, ImageDraw
 
-    img = Image.new("L", (width, height), 255)
-    d = ImageDraw.Draw(img)
-    # Default bitmap font; jitter position and scale via resize.
-    d.text((int(rng.integers(2, 12)), int(rng.integers(2, 12))), text, fill=0)
+    if not tight:
+        img = Image.new("L", (width, height), 255)
+        d = ImageDraw.Draw(img)
+        # Default bitmap font; jitter position and scale via resize.
+        d.text((int(rng.integers(2, 12)), int(rng.integers(2, 12))), text,
+               fill=0)
+    else:
+        # Native-size canvas with margin, then bbox-crop + resize.
+        pad = 12
+        w0 = 7 * max(len(text), 1) + 2 * pad
+        img = Image.new("L", (w0, 11 + 2 * pad), 255)
+        d = ImageDraw.Draw(img)
+        d.text((pad, pad), text, fill=0)
+        x0, y0, x1, y1 = d.textbbox((pad, pad), text)
+        ml, mt, mr, mb = (int(v) for v in rng.integers(0, 8, 4))
+        img = img.crop((x0 - ml, y0 - mt, x1 + mr, y1 + mb)).resize(
+            (width, height), Image.BILINEAR)
     arr = np.asarray(img, np.float32) / 255.0
     # random contrast/brightness + noise
     arr = arr * rng.uniform(0.6, 1.0) + rng.uniform(0.0, 0.3)
@@ -52,6 +77,7 @@ def word_batch(
     min_len: int = 1,
     max_len: int = 8,
     charset: Optional[str] = None,
+    tight: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Random word crops + encoded labels for PARSEQ training.
 
@@ -66,7 +92,7 @@ def word_batch(
         text = "".join(pool[int(i)] for i in rng.integers(0, len(pool), k))
         ids, ln = tokenizer.encode(text, max_length)
         texts.append(text)
-        crops.append(render_word(text, rng))
+        crops.append(render_word(text, rng, tight=tight))
         labels.append(ids)
         lengths.append(ln)
     return {
@@ -137,6 +163,79 @@ def detection_batch(
         heats[i] = gaussian_heatmap_targets(boxes, counts, size // 2, size // 2)
         pages[i] = np.clip(pages[i] + rng.normal(0, 0.02, pages[i].shape), 0, 1)
     return {"pages": pages, "heat": heats}
+
+
+def synthetic_text_pages(
+    b: int,
+    tokenizer: Tokenizer,
+    rng: np.random.Generator,
+    size: int = 256,
+    words_per_page: int = 8,
+    min_len: int = 2,
+    max_len: int = 8,
+    charset: Optional[str] = None,
+    upscale: int = 1,
+) -> Dict:
+    """Labeled synthetic TEXT pages: real rendered glyphs, heat targets,
+    and per-page ground truth — the full train->eval substrate.
+
+    Unlike `detection_batch` (featureless dark bars), every word here is
+    actual PIL-rendered text, so a detector trained on these pages must
+    localize glyph patterns and the words can then be READ by a trained
+    recognizer and scored with utils/metrics.evaluate_engine.
+
+    Words are placed non-overlapping with a separation margin (CRAFT's
+    per-component dilation merges close components; the margin keeps the
+    ground-truth box count meaningful). `upscale` renders glyphs at native
+    bitmap size on a size/upscale canvas and bilinearly upscales — larger
+    apparent font without needing scalable fonts.
+
+    Returns {"pages" [b,S,S,3] float32 0..1, "heat" [b,S/2,S/2,2],
+    "truths" list[b] of [{text, bbox}]} with bboxes in page pixels.
+    """
+    from PIL import Image, ImageDraw
+
+    pool = charset or tokenizer.charset[:62]
+    base = size // upscale
+    pages = np.ones((b, size, size, 3), np.float32)
+    heats = np.zeros((b, size // 2, size // 2, 2), np.float32)
+    truths: List[List[Dict]] = []
+    sep = 6  # min gap between word boxes, base-canvas pixels
+    for i in range(b):
+        img = Image.new("L", (base, base), 255)
+        d = ImageDraw.Draw(img)
+        occupied: List[Tuple[float, float, float, float]] = []
+        boxes, counts, truth = [], [], []
+        for _ in range(words_per_page):
+            k = int(rng.integers(min_len, max_len + 1))
+            text = "".join(pool[int(j)] for j in rng.integers(0, len(pool), k))
+            x0t, y0t, x1t, y1t = d.textbbox((0, 0), text)
+            w, h = x1t - x0t, y1t - y0t
+            if w + 2 * sep >= base or h + 2 * sep >= base:
+                continue
+            for _try in range(25):
+                x = int(rng.integers(sep, base - w - sep))
+                y = int(rng.integers(sep, base - h - sep))
+                cand = (x - sep, y - sep, x + w + sep, y + h + sep)
+                if all(cand[2] < o[0] or cand[0] > o[2] or
+                       cand[3] < o[1] or cand[1] > o[3] for o in occupied):
+                    break
+            else:
+                continue
+            occupied.append(cand)
+            d.text((x - x0t, y - y0t), text, fill=0)
+            bbox = [float(v * upscale) for v in (x, y, x + w, y + h)]
+            truth.append({"text": text, "bbox": bbox})
+            boxes.append(tuple(v / 2 for v in bbox))
+            counts.append(len(text))
+        if upscale > 1:
+            img = img.resize((size, size), Image.BILINEAR)
+        heats[i] = gaussian_heatmap_targets(boxes, counts, size // 2, size // 2)
+        arr = np.asarray(img, np.float32) / 255.0
+        arr = np.clip(arr + rng.normal(0, 0.02, arr.shape), 0, 1)
+        pages[i] = np.repeat(arr[..., None], 3, axis=-1)
+        truths.append(truth)
+    return {"pages": pages, "heat": heats, "truths": truths}
 
 
 def load_funsd_annotations(path: str, level: str = "word") -> List[Dict]:
