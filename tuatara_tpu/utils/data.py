@@ -35,14 +35,16 @@ def render_word(
 
     `tight=False` (default): draw at native bitmap-font size with position
     jitter inside the canvas — the cheap smoke-train recipe.
-    `tight=True`: draw at native size, crop to the text's bounding box plus
-    independent random per-side margins (0-7 px), then resize to
-    [height, width] — the geometry the serving pipeline produces: a
-    DETECTED word box (which CRAFT's per-component dilation pads by a few
-    pixels on each side, asymmetrically) stretched to the recognizer's
-    32x128 input (ops/warp.extract_crops). Training under the margin
-    distribution the detector actually emits is what closes the word-level
-    -> end-to-end accuracy gap."""
+    `tight=True`: draw at native size, crop to the text's bounding box with
+    independent random per-side margins in [-2, 3] px — the margin
+    distribution MEASURED from the trained detector's boxes on rendered
+    pages (mean +-0.5 px, up to 2 px of padding and up to 2 px of glyph
+    CLIPPING per side) — then resize to [height, width], the geometry the
+    serving pipeline produces (a detected word box stretched to the
+    recognizer's 32x128 input, ops/warp.extract_crops). Training under the
+    detector's actual margin distribution is what closes the word-level ->
+    end-to-end accuracy gap (symmetric 0-7 px margins left a 6.5% -> 22%
+    CER cliff on engine-extracted crops)."""
     from PIL import Image, ImageDraw
 
     if not tight:
@@ -59,13 +61,21 @@ def render_word(
         d = ImageDraw.Draw(img)
         d.text((pad, pad), text, fill=0)
         x0, y0, x1, y1 = d.textbbox((pad, pad), text)
-        ml, mt, mr, mb = (int(v) for v in rng.integers(0, 8, 4))
+        ml, mt, mr, mb = (int(v) for v in rng.integers(-2, 4, 4))
+        # clipping margins must never invert a narrow glyph's box
+        if (x1 + mr) - (x0 - ml) < 2:
+            ml, mr = 1, 1
+        if (y1 + mb) - (y0 - mt) < 2:
+            mt, mb = 1, 1
         img = img.crop((x0 - ml, y0 - mt, x1 + mr, y1 + mb)).resize(
             (width, height), Image.BILINEAR)
     arr = np.asarray(img, np.float32) / 255.0
     # random contrast/brightness + noise
     arr = arr * rng.uniform(0.6, 1.0) + rng.uniform(0.0, 0.3)
     arr = np.clip(arr + rng.normal(0, 0.03, arr.shape), 0, 1)
+    # snap to the uint8 grid: serving crops are gathered from uint8 pages
+    # (/255), so training off-grid values would be a (small) domain shift
+    arr = np.round(arr * 255.0) / 255.0
     return np.repeat(arr[..., None], 3, axis=-1).astype(np.float32)
 
 
