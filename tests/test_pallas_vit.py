@@ -75,3 +75,39 @@ def test_encoder_impl_config_switch(rng):
     got = np.asarray(parseq_encode(params, crops, pcfg, jnp.bfloat16,
                                    _pallas_interpret=True))
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+
+
+def test_prestacked_encoder_weights_identical(rng):
+    """prestack_pallas_encoder stores concrete stacked weights that make
+    parseq_encode produce BIT-identical outputs to the per-call stack, and
+    is a no-op for xla/quantized configurations."""
+    import dataclasses
+
+    from tuatara_tpu.config import ParseqConfig
+    from tuatara_tpu.models.parseq import (
+        init_parseq_params, parseq_encode, prestack_pallas_encoder,
+        quantize_parseq_encoder,
+    )
+
+    cfg = ParseqConfig(embed_dim=64, enc_depth=2, enc_heads=4,
+                       max_label_length=7, encoder_impl="pallas")
+    params = init_parseq_params(jax.random.PRNGKey(3), cfg)
+    crops = jnp.asarray(rng.random((8, 32, 128, 3)), jnp.float32)
+
+    pre = prestack_pallas_encoder(params, cfg)
+    assert "_enc_stacked" in pre and "_enc_stacked" not in params
+    assert not isinstance(pre["_enc_stacked"]["qkv_w"], jax.core.Tracer)
+    # idempotent
+    assert prestack_pallas_encoder(pre, cfg) is pre
+
+    want = np.asarray(parseq_encode(params, crops, cfg, jnp.bfloat16,
+                                    _pallas_interpret=True))
+    got = np.asarray(parseq_encode(pre, crops, cfg, jnp.bfloat16,
+                                   _pallas_interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+    # no-ops: xla impl, and an int8-quantized encoder
+    xcfg = dataclasses.replace(cfg, encoder_impl="xla")
+    assert prestack_pallas_encoder(params, xcfg) is params
+    qparams = quantize_parseq_encoder(params)
+    assert "_enc_stacked" not in prestack_pallas_encoder(qparams, cfg)

@@ -208,6 +208,14 @@ class OcrEngine:
                     logger.info(
                         "loaded %d calibrated activation scales from %s",
                         n, calib)
+        if self.parseq_config.encoder_impl == "pallas":
+            from tuatara_tpu.models.parseq import prestack_pallas_encoder
+
+            # Pre-stack the Pallas encoder kernel's block weights once so
+            # serving programs don't re-trace the 12-block concat+cast
+            # (~21 MB HBM traffic per forward; see parseq.parseq_encode).
+            self.parseq_params = prestack_pallas_encoder(
+                self.parseq_params, self.parseq_config)
         self.weights_dir = weights_dir
 
         self._detect_fns: Dict[Tuple[int, int, int, int], Any] = {}

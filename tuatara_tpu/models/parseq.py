@@ -115,7 +115,12 @@ def parseq_encode(
             stack_vit_block_weights, vit_blocks_pallas,
         )
 
-        stacked = stack_vit_block_weights(params["enc"])
+        # Engines pre-stack once at construction (prestack_pallas_encoder);
+        # ad-hoc callers pay a per-call stack (traced concat+cast of the
+        # block weights, ~21 MB of extra HBM traffic).
+        stacked = params.get("_enc_stacked")
+        if stacked is None:
+            stacked = stack_vit_block_weights(params["enc"])
         x = vit_blocks_pallas(x.astype(jnp.float32), stacked, cfg.enc_heads,
                               cfg.layer_norm_eps,
                               interpret=_pallas_interpret)
@@ -124,6 +129,28 @@ def parseq_encode(
             x = L.vit_block(blk, x, cfg.enc_heads, cfg.layer_norm_eps,
                             compute_dtype)
     return L.layernorm(params["enc_norm"], x, cfg.layer_norm_eps)
+
+
+def prestack_pallas_encoder(params: Params, cfg: ParseqConfig) -> Params:
+    """Serving-only transform: precompute the Pallas encoder kernel's
+    stacked block weights ONCE (eagerly, at engine construction) under the
+    `_enc_stacked` key, so each compiled recognize program receives them as
+    ready inputs instead of re-tracing the concat+cast of all 12 blocks'
+    weights (~21 MB of HBM traffic per forward; see parseq_encode).
+
+    No-op unless cfg.encoder_impl == "pallas"; skipped for int8-quantized
+    encoders (the quantized path keeps the XLA lowering). Idempotent.
+    Returns a shallow copy — the original tree (the one checkpoints save)
+    is untouched."""
+    if cfg.encoder_impl != "pallas" or "_enc_stacked" in params:
+        return params
+    if "wq" in params["patch_embed"]:  # int8 path: pallas gate is off
+        return params
+    from tuatara_tpu.ops.pallas.vit import stack_vit_block_weights
+
+    q: Params = dict(params)
+    q["_enc_stacked"] = stack_vit_block_weights(params["enc"])
+    return q
 
 
 def fuse_parseq_encoder(params: Params) -> Params:

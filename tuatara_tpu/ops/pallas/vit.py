@@ -8,8 +8,10 @@ alone is fp32 [N,128,384] ~25 MB per pass at N=256). This kernel keeps a
 tile of crops' activations in VMEM across SEVERAL blocks: per grid step it
 loads [TB, S, D] once, runs `blocks_per_call` full transformer blocks
 (pre-norm LN, fused-QKV projection, per-crop attention, output projection,
-MLP with exact GELU), and writes once. Block weights use constant index
-maps, so Pallas DMAs them into VMEM once for the whole grid, not per step.
+MLP with tanh-approx GELU — Mosaic lowers no erf; ~5e-4 max abs err vs the
+XLA path's exact GELU, below bf16 resolution), and writes once. Block
+weights use constant index maps, so Pallas DMAs them into VMEM once for
+the whole grid, not per step.
 
 Numerics: residual stream fp32 (same as the XLA path, where bf16 matmul
 outputs are added into an fp32 stream), matmuls bf16-in/fp32-accumulate,
@@ -115,24 +117,38 @@ def _vit_blocks_kernel(
             h, qkv_w[blk], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + qkv_b[blk]  # [m, 3d] fp32
-        # per-crop, per-head attention: fold (crop, head) into one batch dim
-        qkv = qkv.reshape(tb, s, 3, heads, hd)
-        q = qkv[:, :, 0].transpose(0, 2, 1, 3).reshape(tb * heads, s, hd)
-        k = qkv[:, :, 1].transpose(0, 2, 1, 3).reshape(tb * heads, s, hd)
-        v = qkv[:, :, 2].transpose(0, 2, 1, 3).reshape(tb * heads, s, hd)
+        # Per-crop, per-head attention, folding (head, crop) into one batch
+        # dim. Mosaic cannot reshape-split the lane dim (m,3d)->(..,3,h,hd),
+        # so heads are peeled with 64-aligned LANE SLICES (supported) and
+        # regrouped along the leading dim (leading reshapes are free).
+        def heads_of(base):
+            return jnp.concatenate([
+                jax.lax.slice(qkv, (0, base + h * hd),
+                              (m, base + (h + 1) * hd))
+                .reshape(1, tb, s, hd)
+                for h in range(heads)
+            ], axis=0).reshape(heads * tb, s, hd)
+
+        q = heads_of(0)
+        k = heads_of(d)
+        v = heads_of(2 * d)
         logits = jax.lax.dot_general(
             q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * scale  # [tb*heads, s, s]
+        ) * scale  # [heads*tb, s, s]
         p = jax.nn.softmax(logits, axis=-1)
         att = jax.lax.dot_general(
             p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [tb*heads, s, hd]
-        att = att.reshape(tb, heads, s, hd).transpose(0, 2, 1, 3)
-        att = att.reshape(m, d)
+        )  # [heads*tb, s, hd]
+        # back to [m, d] with head-major lanes (matches o_w's row layout)
+        att = jnp.concatenate([
+            jax.lax.slice(att, (h * tb, 0, 0), ((h + 1) * tb, s, hd))
+            .reshape(m, hd)
+            for h in range(heads)
+        ], axis=1)
         proj = jax.lax.dot_general(
             att.astype(jnp.bfloat16), o_w[blk], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -145,7 +161,10 @@ def _vit_blocks_kernel(
             h, f1_w[blk], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + f1_b[blk]
-        hmid = jax.nn.gelu(hmid, approximate=False).astype(jnp.bfloat16)
+        # tanh-approx GELU: Mosaic has no erf/erfc lowering (exact GELU
+        # fails to compile on real TPU); max abs err ~5e-4 vs exact, below
+        # the bf16 stream's resolution (eps ~8e-3).
+        hmid = jax.nn.gelu(hmid, approximate=True).astype(jnp.bfloat16)
         mlp_out = jax.lax.dot_general(
             hmid, f2_w[blk], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
