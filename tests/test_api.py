@@ -257,3 +257,24 @@ def test_engine_stats_accumulate(engine):
     assert s["boxes"] >= 0
     engine.reset_stats()
     assert engine.stats["pages"] == 0
+
+
+def test_encoder_impl_serving_override():
+    """OcrConfig.encoder_impl flows into the resolved ParseqConfig and
+    triggers the eager pre-stack of the Pallas kernel's block weights
+    (prestack_pallas_encoder); None leaves the resolved config alone."""
+    import dataclasses
+
+    eng = OcrEngine(dataclasses.replace(TINY_OCR, encoder_impl="pallas"),
+                    TINY_CRAFT, TINY_PARSEQ, seed=0)
+    assert eng.parseq_config.encoder_impl == "pallas"
+    assert "_enc_stacked" in eng.parseq_params
+
+    default = OcrEngine(TINY_OCR, TINY_CRAFT, TINY_PARSEQ, seed=0)
+    assert default.parseq_config.encoder_impl == "xla"
+    assert "_enc_stacked" not in default.parseq_params
+
+    # explicit parseq_config wins when the OcrConfig field is None
+    pp = dataclasses.replace(TINY_PARSEQ, encoder_impl="pallas")
+    explicit = OcrEngine(TINY_OCR, TINY_CRAFT, pp, seed=0)
+    assert explicit.parseq_config.encoder_impl == "pallas"

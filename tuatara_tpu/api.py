@@ -119,6 +119,12 @@ class OcrEngine:
         self.parseq_config = parseq_config or stored_parseq or ParseqConfig(
             max_label_length=config.max_label_length
         )
+        if config.encoder_impl is not None:
+            # Serving-level encoder lowering override (OcrConfig.encoder_impl)
+            import dataclasses as _dc
+
+            self.parseq_config = _dc.replace(
+                self.parseq_config, encoder_impl=config.encoder_impl)
         # Tokenizer table resolution: explicit OcrConfig.charset > explicit
         # reference_charset=True (bug-compat mode is a user request — it
         # must not be silently overridden by a table persisted next to the

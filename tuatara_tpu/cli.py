@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None)
     p.add_argument("--beam-size", type=int, default=None)
     p.add_argument("--channel-mode", choices=["python", "cpp", "rgb"], default=None)
+    p.add_argument("--encoder-impl", choices=["xla", "pallas"], default=None,
+                   help="recognizer encoder lowering: pallas = fused "
+                        "VMEM-resident ViT-block kernel (~2x on v5e, "
+                        "bf16-class divergence, TPU-only); default xla")
     p.add_argument("--quantized", action="store_true",
                    help="int8 detector + recognizer encoder (~2x quantized-"
                         "layer MXU rate; not bit-parity with the bf16 path "
@@ -103,6 +107,7 @@ def main(argv=None) -> int:
             "decode_mode": args.decode_mode,
             "beam_size": args.beam_size,
             "channel_mode": args.channel_mode,
+            "encoder_impl": args.encoder_impl,
             "quantized_serving": True if args.quantized else None,
         }.items()
         if v is not None

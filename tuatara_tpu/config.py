@@ -14,7 +14,7 @@ a static argument to jitted stage programs.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,6 +67,11 @@ class OcrConfig:
     # PLM-trained models, NOT identical outputs.
     decode_mode: str = "greedy"
     beam_size: int = 4
+    # Recognizer encoder lowering: None = whatever the resolved ParseqConfig
+    # says (default "xla"); "pallas" = the fused VMEM-resident ViT-block
+    # kernel (ops/pallas/vit.py, ~2x the XLA encoder on v5e; bf16-class
+    # divergence, not bit-parity — docs/PERFORMANCE.md round 4). TPU-only.
+    encoder_impl: Optional[str] = None
 
     # ---- Recognition charset ----
     # DELIBERATE FIX of reference quirk: the reference's charset literal
