@@ -119,12 +119,17 @@ class OcrEngine:
         self.parseq_config = parseq_config or stored_parseq or ParseqConfig(
             max_label_length=config.max_label_length
         )
-        if config.encoder_impl is not None:
-            # Serving-level encoder lowering override (OcrConfig.encoder_impl)
+        if config.encoder_impl is not None or config.decode_impl is not None:
+            # Serving-level lowering overrides (OcrConfig.encoder_impl /
+            # decode_impl) applied to the resolved ParseqConfig.
             import dataclasses as _dc
 
-            self.parseq_config = _dc.replace(
-                self.parseq_config, encoder_impl=config.encoder_impl)
+            repl = {}
+            if config.encoder_impl is not None:
+                repl["encoder_impl"] = config.encoder_impl
+            if config.decode_impl is not None:
+                repl["decode_impl"] = config.decode_impl
+            self.parseq_config = _dc.replace(self.parseq_config, **repl)
         # Tokenizer table resolution: explicit OcrConfig.charset > explicit
         # reference_charset=True (bug-compat mode is a user request — it
         # must not be silently overridden by a table persisted next to the
@@ -221,6 +226,13 @@ class OcrEngine:
             # serving programs don't re-trace the 12-block concat+cast
             # (~21 MB HBM traffic per forward; see parseq.parseq_encode).
             self.parseq_params = prestack_pallas_encoder(
+                self.parseq_params, self.parseq_config)
+        if self.parseq_config.decode_impl == "pallas":
+            from tuatara_tpu.models.parseq import prestack_pallas_decoder
+
+            # Ditto for the fused decode kernel's bundle (incl. the
+            # [T, V, D] content K/V table; ops/pallas/decode.py).
+            self.parseq_params = prestack_pallas_decoder(
                 self.parseq_params, self.parseq_config)
         self.weights_dir = weights_dir
 

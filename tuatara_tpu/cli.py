@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="recognizer encoder lowering: pallas = fused "
                         "VMEM-resident ViT-block kernel (~2x on v5e, "
                         "bf16-class divergence, TPU-only); default xla")
+    p.add_argument("--decode-impl", choices=["xla", "pallas"], default=None,
+                   help="greedy AR decode lowering: pallas = fused "
+                        "VMEM-resident decode kernel (memory K/V + cache "
+                        "in VMEM across all steps; bf16-class divergence, "
+                        "TPU-only); default xla")
     p.add_argument("--quantized", action="store_true",
                    help="int8 detector + recognizer encoder (~2x quantized-"
                         "layer MXU rate; not bit-parity with the bf16 path "
@@ -108,6 +113,7 @@ def main(argv=None) -> int:
             "beam_size": args.beam_size,
             "channel_mode": args.channel_mode,
             "encoder_impl": args.encoder_impl,
+            "decode_impl": args.decode_impl,
             "quantized_serving": True if args.quantized else None,
         }.items()
         if v is not None

@@ -72,6 +72,10 @@ class OcrConfig:
     # kernel (ops/pallas/vit.py, ~2x the XLA encoder on v5e; bf16-class
     # divergence, not bit-parity — docs/PERFORMANCE.md round 4). TPU-only.
     encoder_impl: Optional[str] = None
+    # Greedy AR decode lowering: None = resolved ParseqConfig (default
+    # "xla"); "pallas" = fused VMEM-resident decode kernel
+    # (ops/pallas/decode.py; bf16-class divergence). TPU-only.
+    decode_impl: Optional[str] = None
 
     # ---- Recognition charset ----
     # DELIBERATE FIX of reference quirk: the reference's charset literal
@@ -206,6 +210,12 @@ class ParseqConfig:
     # path; same math, NOT bit-identical, ~bf16-accumulation-order deltas.
     # fp32 compute always uses the XLA path regardless).
     encoder_impl: str = "xla"
+    # Greedy AR decode lowering: "xla" (default; KV-cached scan with batch
+    # EOS early-exit) or "pallas" (ops/pallas/decode.py fused decode kernel
+    # — memory K/V + cache VMEM-resident across all steps; same math, NOT
+    # bit-identical; TPU-only serving opt-in). Only affects
+    # decode_mode="greedy"; beam/NAR always use the XLA path.
+    decode_impl: str = "xla"
 
     @property
     def num_tokens(self) -> int:

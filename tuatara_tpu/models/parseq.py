@@ -153,6 +153,23 @@ def prestack_pallas_encoder(params: Params, cfg: ParseqConfig) -> Params:
     return q
 
 
+def prestack_pallas_decoder(params: Params, cfg: ParseqConfig) -> Params:
+    """Serving-only transform: precompute the Pallas decode kernel's weight
+    bundle ONCE (eagerly, at engine construction) under `_dec_stacked` —
+    including the [T, V, D] content K/V table — so each compiled recognize
+    program receives ready inputs (see ops/pallas/decode.py).
+
+    No-op unless cfg.decode_impl == "pallas". Idempotent. Returns a shallow
+    copy — the original tree (the one checkpoints save) is untouched."""
+    if cfg.decode_impl != "pallas" or "_dec_stacked" in params:
+        return params
+    from tuatara_tpu.ops.pallas.decode import stack_decode_weights
+
+    q: Params = dict(params)
+    q["_dec_stacked"] = stack_decode_weights(params, cfg)
+    return q
+
+
 def fuse_parseq_encoder(params: Params) -> Params:
     """Serving-only transform: fuse each encoder block's q/k/v projections
     into one [D, 3D] matmul (layers.fuse_mha_qkv — bit-identical outputs).
@@ -322,6 +339,31 @@ def parseq_greedy_decode(
     """
     if cfg.dec_depth != 1:
         raise NotImplementedError("KV-cached scan decode assumes dec_depth == 1")
+    if cfg.decode_impl == "pallas":
+        # Fused VMEM-resident decode kernel (ops/pallas/decode.py): the
+        # math of early_exit=False — all T steps run, positions past the
+        # first EOS get real logits, transcripts identical (decoding stops
+        # at the first EOS downstream). Engines pre-stack the weight
+        # bundle at construction (prestack_pallas_decoder); ad-hoc callers
+        # pay a per-call stack.
+        from tuatara_tpu.ops.pallas.decode import (
+            greedy_decode_pallas, stack_decode_weights,
+        )
+
+        clayer = params["dec"][0]["cross_attn"]
+        bf = jnp.dtype(compute_dtype)
+        mem_k = L.linear(clayer["k"], memory, compute_dtype).astype(bf)
+        mem_v = L.linear(clayer["v"], memory, compute_dtype).astype(bf)
+        stacked = params.get("_dec_stacked")
+        if stacked is None:
+            stacked = stack_decode_weights(params, cfg)
+        n = memory.shape[0]
+        tb = next(c for c in (32, 16, 8, 4, 2, 1) if n % c == 0)
+        logits = greedy_decode_pallas(
+            mem_k, mem_v, stacked, cfg.dec_heads,
+            cfg.max_label_length + 1, cfg.charset_size + 1,
+            cfg.num_tokens - 2, cfg.layer_norm_eps, tb=tb)
+        return logits, jnp.argmax(logits, axis=-1)
     layer = params["dec"][0]
     eps = cfg.layer_norm_eps
     N, S, D = memory.shape
