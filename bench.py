@@ -241,16 +241,18 @@ def main() -> int:
     # --- DENSE end-to-end pages/sec (the headline): real detection, and
     # recognition forced to the fixture's 116-box/page geometry — the load
     # trained weights produce on this page. Pipelined serving loop. The
-    # headline engine serves with the Pallas fused ViT encoder
-    # (ops/pallas/vit.py, ~2x the XLA encoder on-chip; the XLA-encoder
-    # numbers are recorded alongside as dense_*_xla_encoder). Every stream
+    # headline engine serves with the Pallas fused ViT encoder + fused
+    # greedy-decode kernel (ops/pallas/{vit,decode}.py, ~1.9x the XLA
+    # recognizer on-chip; the XLA-encoder numbers are recorded alongside
+    # as dense_*_xla_encoder). Every stream
     # iteration gets a DISTINCT page batch (see _queued_ms's hardening
     # note: re-running identical inputs can be served from cache). ---
     from tuatara_tpu.config import ParseqConfig
 
     forced, n_boxes = _forced_geometry(h, w, DEFAULT_CONFIG.max_boxes, PAGES)
     dense = _dense_engine(OcrEngine, forced)(
-        parseq_config=ParseqConfig(encoder_impl="pallas"))
+        parseq_config=ParseqConfig(encoder_impl="pallas",
+                                   decode_impl="pallas"))
     dense.run_pages(pages)  # compile detect + dense crop/recognize slab
     dense.run_pages(pages)  # steady-state speculation
     extras["dense_boxes_per_page"] = n_boxes
@@ -353,6 +355,14 @@ def main() -> int:
         peng = OcrEngine(parseq_config=ParseqConfig(encoder_impl="pallas"))
         extras["ms_per_crop_parseq_pallas"] = round(
             _ms_per_crop(peng, crops), 4)
+
+    def ms_crop_pallas_full():
+        # encoder AND greedy decode through the fused kernels — the fast
+        # serving config (the dense headline engine's recognizer).
+        feng = OcrEngine(parseq_config=ParseqConfig(
+            encoder_impl="pallas", decode_impl="pallas"))
+        extras["ms_per_crop_parseq_pallas_full"] = round(
+            _ms_per_crop(feng, crops), 4)
 
     def ms_crop_int8():
         qeng = OcrEngine(
@@ -486,6 +496,7 @@ def main() -> int:
     extra("dense_xla_encoder", dense_xla_encoder)
     extra("ms_crop_bf16", ms_crop_bf16)
     extra("ms_crop_pallas", ms_crop_pallas)
+    extra("ms_crop_pallas_full", ms_crop_pallas_full)
     extra("ms_crop_int8", ms_crop_int8)
     extra("ms_crop_nar", ms_crop_nar)
     extra("ms_crop_extended", ms_crop_extended)
