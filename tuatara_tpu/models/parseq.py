@@ -109,6 +109,7 @@ def parseq_encode(
         and jnp.dtype(compute_dtype) == jnp.bfloat16
         and "wq" not in params["patch_embed"]  # int8 path keeps XLA lowering
         and n % 8 == 0
+        and cfg.embed_dim % 128 == 0  # Mosaic: lane dim must tile to 128
     )
     if use_pallas:
         from tuatara_tpu.ops.pallas.vit import (
@@ -339,13 +340,16 @@ def parseq_greedy_decode(
     """
     if cfg.dec_depth != 1:
         raise NotImplementedError("KV-cached scan decode assumes dec_depth == 1")
-    if cfg.decode_impl == "pallas":
-        # Fused VMEM-resident decode kernel (ops/pallas/decode.py): the
-        # math of early_exit=False — all T steps run, positions past the
-        # first EOS get real logits, transcripts identical (decoding stops
-        # at the first EOS downstream). Engines pre-stack the weight
-        # bundle at construction (prestack_pallas_decoder); ad-hoc callers
-        # pay a per-call stack.
+    if cfg.decode_impl == "pallas" and cfg.embed_dim % 128 == 0:
+        # (dim gate: Mosaic rejects the kernel's dots/reshapes when the
+        # lane dim doesn't tile to 128 — smaller research configs fall
+        # back to the XLA scan below)
+        # Fused VMEM-resident decode kernel (ops/pallas/decode.py).
+        # early_exit=True stops each crop TILE once all its crops emitted
+        # EOS (positions past the stop get EOS-certain logits, like the
+        # XLA early-exit path); early_exit=False runs all T steps.
+        # Engines pre-stack the weight bundle at construction
+        # (prestack_pallas_decoder); ad-hoc callers pay a per-call stack.
         from tuatara_tpu.ops.pallas.decode import (
             greedy_decode_pallas, stack_decode_weights,
         )
@@ -362,7 +366,8 @@ def parseq_greedy_decode(
         logits = greedy_decode_pallas(
             mem_k, mem_v, stacked, cfg.dec_heads,
             cfg.max_label_length + 1, cfg.charset_size + 1,
-            cfg.num_tokens - 2, cfg.layer_norm_eps, tb=tb)
+            cfg.num_tokens - 2, cfg.layer_norm_eps, tb=tb,
+            early_exit=early_exit)
         return logits, jnp.argmax(logits, axis=-1)
     layer = params["dec"][0]
     eps = cfg.layer_norm_eps

@@ -141,6 +141,7 @@ def _decode_kernel(
     out_ref, k_cache, v_cache,
     *, tb: int, t: int, heads: int, d: int, s: int,
     n_classes: int, n_vocab: int, bos_id: int, eps: float,
+    early_exit: bool,
 ):
     bf = jnp.bfloat16
     hd = d // heads
@@ -237,12 +238,35 @@ def _decode_kernel(
                        axis=-1, keepdims=True)
 
     prev0 = jnp.full((tb, 1), bos_id, jnp.int32)
-    jax.lax.fori_loop(0, t, step, prev0)
+    if not early_exit:
+        jax.lax.fori_loop(0, t, step, prev0)
+        return
+    # Tile-level early exit: stop once every crop in the tile has emitted
+    # EOS (the XLA path's batch early-exit, at tile granularity — pays on
+    # trained weights, where most words are far shorter than T). Positions
+    # never reached keep EOS-certain logits, matching early_exit=True
+    # semantics downstream (softmax/argmax see a clean "ended" state).
+    eos_certain = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (tb, t, n_classes), 2) == 0,
+        jnp.float32(30.0), jnp.float32(-30.0))
+    out_ref[:, :, :] = eos_certain
+
+    def cond(state):
+        i, _, seen = state
+        return jnp.logical_and(i < t, jnp.min(seen) == 0)
+
+    def body(state):
+        i, prev, seen = state
+        nxt = step(i, prev)
+        return i + 1, nxt, jnp.maximum(seen, (nxt == 0).astype(jnp.int32))
+
+    jax.lax.while_loop(
+        cond, body, (jnp.int32(0), prev0, jnp.zeros((tb, 1), jnp.int32)))
 
 
 @functools.partial(
     jax.jit, static_argnames=("heads", "t", "n_classes", "bos_id", "eps",
-                              "tb", "interpret"),
+                              "tb", "interpret", "early_exit"),
 )
 def greedy_decode_pallas(
     mem_k: jnp.ndarray,
@@ -255,6 +279,7 @@ def greedy_decode_pallas(
     eps: float = 1e-6,
     tb: int = 32,
     interpret: bool = False,
+    early_exit: bool = True,
 ) -> jnp.ndarray:
     """Run the T-step greedy decode over UNSPLIT memory K/V projections
     [N, S, D] (L.linear of cross_attn k/v over the encoder output — NOT
@@ -282,6 +307,7 @@ def greedy_decode_pallas(
     kern = functools.partial(
         _decode_kernel, tb=tb, t=t, heads=heads, d=d, s=s,
         n_classes=n_classes, n_vocab=n_vocab, bos_id=bos_id, eps=eps,
+        early_exit=early_exit,
     )
     mem_spec = pl.BlockSpec((tb, s, d), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
