@@ -45,6 +45,14 @@ def main() -> int:
     ap.add_argument("--reuse-detector", action="store_true",
                     help="load detector weights from a previous run's "
                          "synthetic_weights instead of retraining")
+    ap.add_argument("--embed", type=int, default=96,
+                    help="recognizer embed_dim (128 = the Pallas kernels' "
+                         "lane-aligned geometry; default 96 = the committed "
+                         "artifact's)")
+    ap.add_argument("--tag", default="",
+                    help="suffix for output weight dir / eval json / render "
+                         "(keeps the committed default-run artifacts "
+                         "untouched)")
     args = ap.parse_args()
     rec_steps = args.rec_steps or (300 if args.quick else 16000)
     det_steps = args.det_steps or (100 if args.quick else 1500)
@@ -73,7 +81,7 @@ def main() -> int:
         up_channels=((16, 16), (16, 16), (16, 8), (8, 8)),
         head_channels=(8, 8, 8, 8),
     )
-    parseq_cfg = ParseqConfig(embed_dim=96, enc_depth=4, enc_heads=4,
+    parseq_cfg = ParseqConfig(embed_dim=args.embed, enc_depth=4, enc_heads=4,
                               dec_heads=4, max_label_length=MAXLEN)
 
     # ---- recognizer: pre-rendered pool -> minibatch steps ----------------
@@ -116,11 +124,13 @@ def main() -> int:
 
     # ---- detector: rendered text pages ----------------------------------
     PAGE = 256
-    weights_dir = os.path.join(args.out, "synthetic_weights")
-    if args.reuse_detector and os.path.isdir(weights_dir):
+    tag = f"_{args.tag}" if args.tag else ""
+    weights_dir = os.path.join(args.out, "synthetic_weights" + tag)
+    reuse_dir = os.path.join(args.out, "synthetic_weights")
+    if args.reuse_detector and os.path.isdir(reuse_dir):
         from tuatara_tpu.utils.weights import load_weights_dir
 
-        det_params, _ = load_weights_dir(weights_dir)
+        det_params, _ = load_weights_dir(reuse_dir)
         det_losses, det_train_s = [], 0.0
         print(f"reusing detector weights from {weights_dir}", flush=True)
     else:
@@ -165,12 +175,14 @@ def main() -> int:
     # ---- annotated render of one held-out page --------------------------
     res0 = engine.run(imgs[0])
     render = annotate(imgs[0], res0)
-    render_path = os.path.join(REPO, "images", "synthetic_annotated.png")
+    render_path = os.path.join(REPO, "images",
+                               f"synthetic_annotated{tag}.png")
     save_image(render_path, render)
 
     artifact = {
         "args": {"rec_steps": rec_steps, "det_steps": det_steps,
-                 "pool": pool_n, "quick": bool(args.quick)},
+                 "pool": pool_n, "quick": bool(args.quick),
+                 "embed": args.embed},
         "backend": str(jax.devices()[0]),
         "recognizer": {
             "config": {"embed_dim": parseq_cfg.embed_dim,
@@ -194,7 +206,7 @@ def main() -> int:
         "wall_seconds": round(time.time() - t_start, 1),
     }
     os.makedirs(args.out, exist_ok=True)
-    out_json = os.path.join(args.out, "synthetic_eval.json")
+    out_json = os.path.join(args.out, f"synthetic_eval{tag}.json")
     with open(out_json, "w") as f:
         json.dump(artifact, f, indent=1)
     print(f"wrote {out_json} and {render_path}")
