@@ -172,20 +172,63 @@ def test_prestack_decoder_idempotent_and_gated(setup):
 @pytest.mark.skipif(jax.default_backend() == "cpu",
                     reason="Pallas TPU lowering; interpret mode mis-executes "
                            "this kernel's dynamic stores (see module doc)")
-def test_kernel_lowering_matches_xla_on_tpu(setup):
+def test_kernel_lowering_matches_xla_on_tpu():
+    # lane-aligned geometry (the serving dispatch gates on embed_dim % 128)
+    import dataclasses
+
     from tuatara_tpu.ops.pallas.decode import greedy_decode_pallas
 
-    params, memory = setup
-    T = CFG.max_label_length + 1
+    cfg128 = dataclasses.replace(CFG, embed_dim=128)
+    params = init_parseq_params(jax.random.PRNGKey(0), cfg128)
+    memory = parseq_encode(
+        params, jnp.asarray(np.random.default_rng(0).random((8, 32, 128, 3)),
+                            jnp.float32), cfg128, jnp.bfloat16)
+    T = cfg128.max_label_length + 1
     logits_ref, ids_ref = parseq_greedy_decode(
-        params, memory, CFG, jnp.bfloat16, early_exit=False)
+        params, memory, cfg128, jnp.bfloat16, early_exit=False)
     layer = params["dec"][0]
     mem_k = L.linear(layer["cross_attn"]["k"], memory, jnp.bfloat16).astype(jnp.bfloat16)
     mem_v = L.linear(layer["cross_attn"]["v"], memory, jnp.bfloat16).astype(jnp.bfloat16)
-    st = stack_decode_weights(params, CFG)
+    st = stack_decode_weights(params, cfg128)
     logits = np.asarray(greedy_decode_pallas(
-        mem_k, mem_v, st, CFG.dec_heads, T, CFG.charset_size + 1,
-        CFG.num_tokens - 2, CFG.layer_norm_eps, tb=8))
+        mem_k, mem_v, st, cfg128.dec_heads, T, cfg128.charset_size + 1,
+        cfg128.num_tokens - 2, cfg128.layer_norm_eps, tb=8))
     assert not np.isnan(logits).any()
     agree = (logits.argmax(-1) == np.asarray(ids_ref)).mean()
     assert agree > 0.9, f"transcript agreement {agree}"
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="Pallas TPU lowering (see module doc)")
+@pytest.mark.slow
+def test_trained_weights_accuracy_parity_on_tpu():
+    """Serving with both Pallas kernels preserves ACCURACY on trained
+    weights: word accuracy equal and CER within noise vs the XLA path on
+    held-out synthetic pages (evals/pallas_parity_d128.json records the
+    full 16-page measurement; this is a 4-page regression guard)."""
+    import dataclasses
+    import os
+
+    from tuatara_tpu.api import OcrEngine
+    from tuatara_tpu.config import OcrConfig
+    from tuatara_tpu.utils.data import synthetic_text_pages
+    from tuatara_tpu.utils.metrics import evaluate_engine
+
+    gw = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "evals", "synthetic_weights_d128")
+    if not os.path.isdir(gw):
+        pytest.skip("d128 synthetic weights not present")
+    cfg = OcrConfig(canvas_size=256, max_boxes=32, rec_buckets=(32,),
+                    max_label_length=8)
+    eng_x = OcrEngine(cfg, weights_dir=gw)
+    eng_p = OcrEngine(dataclasses.replace(
+        cfg, encoder_impl="pallas", decode_impl="pallas"), weights_dir=gw)
+    held = synthetic_text_pages(4, eng_x.tokenizer,
+                                np.random.default_rng(888), size=256,
+                                words_per_page=8, max_len=8)
+    imgs = [(p * 255).astype(np.uint8) for p in held["pages"]]
+    ex = evaluate_engine(eng_x, imgs, held["truths"], iou_threshold=0.5)
+    ep = evaluate_engine(eng_p, imgs, held["truths"], iou_threshold=0.5)
+    assert ex["matched"] == ep["matched"] and ex["matched"] >= 20
+    assert abs(ex["word_acc"] - ep["word_acc"]) <= 0.1
+    assert abs(ex["cer"] - ep["cer"]) <= 0.05

@@ -139,7 +139,7 @@ def _decode_kernel(
     cq_w, cq_b, co_w, co_b, f1_w, f1_b, f2_w, f2_b, h_w, h_b,
     norm1_g, norm1_b, norm2_g, norm2_b, dec_norm_g, dec_norm_b,
     out_ref, k_cache, v_cache,
-    *, tb: int, t: int, heads: int, d: int, s: int,
+    *, tb: int, t: int, t_pad: int, heads: int, d: int, s: int,
     n_classes: int, n_vocab: int, bos_id: int, eps: float,
     early_exit: bool,
 ):
@@ -154,8 +154,8 @@ def _decode_kernel(
     # packed bf16 tiles ("index in dimension 1 is a multiple of 8"); the
     # VALUES are bf16-rounded before the store, so the attention math still
     # sees compute-dtype K/V (kv_dtype semantics of the XLA path).
-    k_cache[:, :, :] = jnp.zeros((tb, t, d), jnp.float32)
-    v_cache[:, :, :] = jnp.zeros((tb, t, d), jnp.float32)
+    k_cache[:, :, :] = jnp.zeros((tb, t_pad, d), jnp.float32)
+    v_cache[:, :, :] = jnp.zeros((tb, t_pad, d), jnp.float32)
     mk_bf = mem_k[:]  # [TB, S, D] bf16, head-major lanes
     mv_bf = mem_v[:]
 
@@ -209,7 +209,7 @@ def _decode_kernel(
 
         # --- query stream: position query i over cache positions <= i ---
         q_i = jnp.broadcast_to(qh_all[pl.ds(i, 1), :], (tb, d)).astype(bf)
-        mask = (jax.lax.broadcasted_iota(jnp.int32, (1, t, 1), 1) <= i)
+        mask = (jax.lax.broadcasted_iota(jnp.int32, (1, t_pad, 1), 1) <= i)
         attn = attend(q_i, k_cache[:].astype(bf), v_cache[:].astype(bf),
                       mask)
         x = pos_q[pl.ds(i, 1), :] + mm(attn.astype(bf), o_w, o_b)  # [TB, D]
@@ -247,7 +247,7 @@ def _decode_kernel(
     # never reached keep EOS-certain logits, matching early_exit=True
     # semantics downstream (softmax/argmax see a clean "ended" state).
     eos_certain = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (tb, t, n_classes), 2) == 0,
+        jax.lax.broadcasted_iota(jnp.int32, (tb, t_pad, n_classes), 2) == 0,
         jnp.float32(30.0), jnp.float32(-30.0))
     out_ref[:, :, :] = eos_certain
 
@@ -287,6 +287,10 @@ def greedy_decode_pallas(
     Returns logits [N, T, C]. N must be a multiple of tb."""
     n, s, d = mem_k.shape
     assert n % tb == 0, (n, tb)
+    # Sublane windows (caches, the logits output) need T to tile to 8:
+    # pad the step axis up and slice the result (the loop still runs t
+    # steps; padded positions keep EOS-certain/zero fills).
+    t_pad = -(-t // 8) * 8
     grid = (n // tb,)
 
     names = ("pos_q", "qh_all", "k_tab", "v_tab", "seg", "segT",
@@ -305,7 +309,7 @@ def greedy_decode_pallas(
     n_vocab = stacked["k_tab"].shape[1]
 
     kern = functools.partial(
-        _decode_kernel, tb=tb, t=t, heads=heads, d=d, s=s,
+        _decode_kernel, tb=tb, t=t, t_pad=t_pad, heads=heads, d=d, s=s,
         n_classes=n_classes, n_vocab=n_vocab, bos_id=bos_id, eps=eps,
         early_exit=early_exit,
     )
@@ -317,12 +321,12 @@ def greedy_decode_pallas(
         kern,
         grid=grid,
         in_specs=[mem_spec, mem_spec] + [w_spec(stacked2[k]) for k in names],
-        out_specs=pl.BlockSpec((tb, t, n_classes), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((tb, t_pad, n_classes), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, t, n_classes), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, t_pad, n_classes), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((tb, t, d), jnp.float32),
-            pltpu.VMEM((tb, t, d), jnp.float32),
+            pltpu.VMEM((tb, t_pad, d), jnp.float32),
+            pltpu.VMEM((tb, t_pad, d), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=t * flops_step,
@@ -337,4 +341,4 @@ def greedy_decode_pallas(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(mem_k, mem_v, *(stacked2[k] for k in names))
+    )(mem_k, mem_v, *(stacked2[k] for k in names))[:, :t]
