@@ -438,9 +438,12 @@ def main() -> int:
 
     def resume():
         # BASELINE.md config (2): resume single-image latency path,
-        # pipelined: depth-2 dispatch chaining via run_stream (batch=1).
-        engine.run(resume_img)
-        v, _ = _best_stream(engine,
+        # pipelined depth-2 dispatch chaining via run_stream (batch=1),
+        # served with the fused Pallas recognizer kernels.
+        feng = OcrEngine(parseq_config=ParseqConfig(
+            encoder_impl="pallas", decode_impl="pallas"))
+        feng.run(resume_img)
+        v, _ = _best_stream(feng,
                             [resume_img[None] + np.uint8(i % 5)
                              for i in range(8)],
                             repeats=2, depth=2, prefetch=4)
@@ -449,7 +452,9 @@ def main() -> int:
     def rotated():
         # BASELINE.md config (3): rotated-box rectification path.
         rot_eng = OcrEngine(
-            dataclasses.replace(DEFAULT_CONFIG, box_mode="rotated"))
+            dataclasses.replace(DEFAULT_CONFIG, box_mode="rotated",
+                                encoder_impl="pallas",
+                                decode_impl="pallas"))
         rot_img = load_image(asset_path("rotated_text.png"))
         rot_eng.run(rot_img)
         v, _ = _best_stream(rot_eng,
@@ -472,8 +477,11 @@ def main() -> int:
 
     def beam():
         # BASELINE.md config (5): beam decode throughput.
+        # beam decode stays XLA (decode_impl only gates greedy); the
+        # encoder rides the Pallas kernel.
         beam_eng = OcrEngine(dataclasses.replace(DEFAULT_CONFIG,
-                                                 decode_mode="beam"))
+                                                 decode_mode="beam",
+                                                 encoder_impl="pallas"))
         beam_eng.run_pages(pages_dev)
         v, _ = _best_stream(beam_eng, dev_batches[:6], repeats=2, depth=2)
         extras["beam_compute_pages_per_sec"] = round(v, 3)
