@@ -20,7 +20,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# TUATARA_TEST_TPU=1 keeps the ambient TPU backend (runs the TPU-gated
+# Pallas lowering tests on real hardware instead of skipping them).
+if not os.environ.get("TUATARA_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
