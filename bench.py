@@ -378,6 +378,12 @@ def main() -> int:
             dataclasses.replace(DEFAULT_CONFIG, decode_mode="nar"))
         extras["ms_per_crop_parseq_nar"] = round(
             _ms_per_crop(nar_eng, crops), 4)
+        # fastest serving point: single-pass NAR on the Pallas encoder
+        # (near-AR accuracy on PLM-trained models, NOT parity outputs)
+        fnar = OcrEngine(dataclasses.replace(
+            DEFAULT_CONFIG, decode_mode="nar", encoder_impl="pallas"))
+        extras["ms_per_crop_parseq_pallas_nar"] = round(
+            _ms_per_crop(fnar, crops), 4)
 
     def ms_crop_extended():
         # BASELINE.md config (5)'s charset clause: the space-aware
