@@ -506,6 +506,27 @@ def main() -> int:
         v, _ = _best_stream(qeng, dev_batches[:6], repeats=2, depth=2)
         extras["quantized_calibrated_dense_compute_pages_per_sec"] = round(v, 3)
 
+    def quantized_pallas():
+        # COMPOSED fastest config: calibrated-int8 detector + bf16 Pallas
+        # recognizer kernels (quantized_serving + encoder/decode_impl=
+        # "pallas" — the engine leaves the encoder unquantized because the
+        # fused bf16 kernels measure faster than the int8 XLA encoder).
+        ccfg = dataclasses.replace(DEFAULT_CONFIG, quantized_serving=True,
+                                   encoder_impl="pallas",
+                                   decode_impl="pallas")
+        ceng = _dense_engine(OcrEngine, forced)(ccfg)
+        ceng.calibrate(pages)
+        ceng.run_pages(pages_dev)
+        ceng.run_pages(pages_dev)
+        v, _ = _best_stream(ceng, dev_batches[:6], repeats=2, depth=2)
+        extras["quantized_calibrated_pallas_dense_compute_pages_per_sec"] = \
+            round(v, 3)
+        # And its e2e (host-resident pages through the pipelined stream).
+        v, _ = _best_stream(ceng, dense_batches, repeats=2,
+                            prefetch=4, depth=2)
+        extras["quantized_calibrated_pallas_dense_e2e_pages_per_sec"] = \
+            round(v, 3)
+
     extra("sparse_e2e", sparse_e2e)
     extra("dense_xla_encoder", dense_xla_encoder)
     extra("ms_crop_bf16", ms_crop_bf16)
@@ -520,6 +541,7 @@ def main() -> int:
     extra("mixed", mixed_sizes)
     extra("beam", beam)
     extra("quantized", quantized)
+    extra("quantized_pallas", quantized_pallas)
 
     print(json.dumps({
         "metric": "funsd_pages_per_sec_dense_e2e",

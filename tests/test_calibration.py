@@ -175,6 +175,70 @@ def test_calibration_persistence_roundtrip(tmp_path):
     assert "sx" not in eng3.craft_params["vgg"]["conv1_2"]["conv"]
 
 
+def test_quantized_pallas_composition_leaves_encoder_bf16():
+    """quantized_serving + encoder_impl='pallas' is the COMPOSED fast path:
+    the detector quantizes to int8 while the recognizer serves the bf16
+    Pallas kernels (measured faster than the int8 XLA encoder,
+    docs/PERFORMANCE.md) — quantizing the encoder would only disable the
+    Pallas gate."""
+    cfg, craft_cfg, parseq_cfg = _tiny_configs()
+    cfg = dataclasses.replace(cfg, encoder_impl="pallas",
+                              decode_impl="pallas")
+    eng = OcrEngine(cfg, craft_cfg, parseq_cfg, seed=0)
+    # Detector trunk quantized as usual.
+    assert "wq" in eng.craft_params["vgg"]["conv1_2"]["conv"]
+    assert "wq" in eng.craft_params["fc"]["fc6"]
+    # Encoder left bf16; the Pallas prestacks are live (the gate in
+    # prestack_pallas_encoder skips int8 trees — unquantized must pass it).
+    assert "wq" not in eng.parseq_params["patch_embed"]
+    assert "wq" not in eng.parseq_params["enc"][0]["attn"]["q"]
+    assert "_enc_stacked" in eng.parseq_params
+    assert "_dec_stacked" in eng.parseq_params
+
+
+@pytest.mark.slow  # engine construction + craft-side calibrate (~30 s CPU)
+def test_quantized_pallas_calibrate_and_overlay(tmp_path):
+    """Under the composed config calibrate() freezes DETECTOR scales only
+    (the unquantized encoder contributes none and the TPU-only Pallas
+    lowering is never invoked); save/auto-load round-trips; and a
+    calibration.npz carrying encoder scales from the XLA-quantized config
+    is tolerated (the inapplicable recognizer scales are ignored)."""
+    from tuatara_tpu.utils import weights as W
+
+    cfg, craft_cfg, parseq_cfg = _tiny_configs()
+    cfg = dataclasses.replace(cfg, encoder_impl="pallas",
+                              decode_impl="pallas")
+    wdir = str(tmp_path / "w")
+    base = OcrEngine(*_tiny_configs(quantized=False), seed=0)
+    W.save_weights_dir(wdir, base.craft_params, base.parseq_params,
+                       craft_cfg, parseq_cfg)
+
+    pages = np.random.default_rng(0).integers(
+        0, 255, (2, 120, 160), np.uint8)
+    eng = OcrEngine(cfg, weights_dir=wdir)
+    n = eng.calibrate(pages, margin=1.0)
+    assert n >= 13  # the quantized detector convs — and nothing recognizer
+    assert "sx" in eng.craft_params["vgg"]["conv1_2"]["conv"]
+    assert "sx" not in eng.parseq_params["patch_embed"]
+    path = eng.save_calibration()
+
+    # Fresh composed engine auto-loads the detector scales.
+    eng2 = OcrEngine(cfg, weights_dir=wdir)
+    assert float(eng2.craft_params["vgg"]["conv1_2"]["conv"]["sx"]) == \
+        float(eng.craft_params["vgg"]["conv1_2"]["conv"]["sx"])
+
+    # A calibration file that ALSO carries recognizer scales (saved under
+    # the all-XLA quantized config) must not crash the composed engine.
+    import numpy as _np
+    with _np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    flat["parseq/patch_embed/sx"] = _np.float32(3.0)
+    _np.savez(path, **flat)
+    eng3 = OcrEngine(cfg, weights_dir=wdir)
+    assert "sx" not in eng3.parseq_params["patch_embed"]
+    assert "sx" in eng3.craft_params["vgg"]["conv1_2"]["conv"]
+
+
 def test_apply_static_scales_rejects_mismatched_tree(rng):
     from tuatara_tpu.utils import weights as W
 

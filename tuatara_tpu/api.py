@@ -201,7 +201,20 @@ class OcrEngine:
             # NOT bit-parity — threshold-adjacent boxes / low-margin
             # transcripts can differ, see quantize_craft_trunk).
             self.craft_params = quantize_craft_trunk(self.craft_params)
-            self.parseq_params = quantize_parseq_encoder(self.parseq_params)
+            if self.parseq_config.encoder_impl == "pallas":
+                # COMPOSED fast path: int8 detector + bf16 Pallas recognizer.
+                # The fused bf16 encoder/decode kernels measure FASTER than
+                # the int8 XLA recognizer (0.079 vs 0.134 ms/crop at 256
+                # crops, docs/PERFORMANCE.md), so quantizing the encoder here
+                # would only disable the Pallas gate and slow recognition
+                # down. The detector trunk still quantizes (and calibrates).
+                logger.info(
+                    "quantized_serving + encoder_impl='pallas': detector "
+                    "serves int8, recognizer serves the (faster) bf16 "
+                    "Pallas kernels — encoder left unquantized")
+            else:
+                self.parseq_params = quantize_parseq_encoder(
+                    self.parseq_params)
             # Calibrated static activation scales persisted next to the
             # weights (engine.save_calibration) overlay the freshly
             # quantized trees — serving starts reduce-free without a
@@ -215,7 +228,16 @@ class OcrEngine:
                 if os.path.isfile(calib):
                     c_sx, p_sx = W.load_calibration(calib)
                     n = W.apply_static_scales(self.craft_params, c_sx)
-                    n += W.apply_static_scales(self.parseq_params, p_sx)
+                    if "wq" in self.parseq_params["patch_embed"]:
+                        n += W.apply_static_scales(self.parseq_params, p_sx)
+                    elif p_sx:
+                        # Composed config (Pallas bf16 recognizer): encoder
+                        # scales saved under the XLA-quantized config are
+                        # inapplicable — the encoder isn't quantized here.
+                        logger.info(
+                            "ignoring %d recognizer calibration scales "
+                            "(encoder serves the bf16 Pallas kernels)",
+                            len(p_sx))
                     logger.info(
                         "loaded %d calibrated activation scales from %s",
                         n, calib)
@@ -579,6 +601,12 @@ class OcrEngine:
                 parseq_encode(pp, crops, pcfg, compute_dtype=dtype)
                 return dict(col)
 
+        # Under the composed quantized+Pallas config the encoder is served
+        # by the bf16 kernels and carries no quantized layers — running the
+        # collector forward would observe nothing (and the Pallas lowering
+        # is TPU-only), so only the detector calibrates.
+        calibrate_rec = "wq" in pp["patch_embed"]
+
         craft_stats, rec_stats = [], []
         for batch in batches:
             imgs, b, h, w, c = self._batch_geometry(batch)
@@ -595,17 +623,19 @@ class OcrEngine:
 
             craft_stats.append(craft_fwd(imgs))
 
-            # Recognizer encoder: calibrate on the pages' own crops (the
-            # detector is still dynamically quantized here — the activation
-            # distributions match static serving to quantization-noise
-            # order, standard post-training-quantization practice).
-            det = self._detect_fn(b, h, w, c)(cp, imgs)
-            bucket = self._bucket(
-                min(max(cfg.rec_buckets), b * cfg.max_boxes))
-            crops = self._crop_fn(b, cfg.max_boxes, bucket, h, w, c)(
-                imgs, det["rects"], det["valid"])
+            if calibrate_rec:
+                # Recognizer encoder: calibrate on the pages' own crops (the
+                # detector is still dynamically quantized here — the
+                # activation distributions match static serving to
+                # quantization-noise order, standard post-training-
+                # quantization practice).
+                det = self._detect_fn(b, h, w, c)(cp, imgs)
+                bucket = self._bucket(
+                    min(max(cfg.rec_buckets), b * cfg.max_boxes))
+                crops = self._crop_fn(b, cfg.max_boxes, bucket, h, w, c)(
+                    imgs, det["rects"], det["valid"])
 
-            rec_stats.append(rec_fwd(crops))
+                rec_stats.append(rec_fwd(crops))
 
         cstats = L.merge_calib_stats(craft_stats)
         rstats = L.merge_calib_stats(rec_stats)
