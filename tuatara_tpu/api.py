@@ -931,6 +931,7 @@ class OcrEngine:
         per-batch-shape inside `_dispatch`, so interleaving shapes only
         costs speculation hits, never correctness.
         """
+        self._check_open()
         from collections import deque
 
         order: Dict[Tuple, List[int]] = {}
@@ -1087,6 +1088,15 @@ ENGINE_CACHE_MAX = 4
 def get_engine(
     config: OcrConfig = DEFAULT_CONFIG, weights_dir: Optional[str] = None
 ) -> OcrEngine:
+    """Process-wide engine cache keyed by (config, weights_dir).
+
+    SEMANTICS NOTE (changed when the cache became LRU-bounded): touching
+    more than ENGINE_CACHE_MAX distinct keys close()s the least-recently
+    used engine EVEN IF a caller still holds its handle — subsequent calls
+    on that handle raise RuntimeError. Long-lived handles that must survive
+    cache churn should construct their own `OcrEngine(...)` directly (it is
+    the same object, just not cached) or raise ENGINE_CACHE_MAX.
+    """
     key = (config, weights_dir or "")
     eng = _engines.get(key)
     if eng is None:

@@ -340,10 +340,13 @@ def parseq_greedy_decode(
     """
     if cfg.dec_depth != 1:
         raise NotImplementedError("KV-cached scan decode assumes dec_depth == 1")
-    if cfg.decode_impl == "pallas" and cfg.embed_dim % 128 == 0:
+    if (cfg.decode_impl == "pallas" and cfg.embed_dim % 128 == 0
+            and jnp.dtype(compute_dtype) == jnp.bfloat16):
         # (dim gate: Mosaic rejects the kernel's dots/reshapes when the
         # lane dim doesn't tile to 128 — smaller research configs fall
-        # back to the XLA scan below)
+        # back to the XLA scan below. dtype gate: the kernel pre-casts
+        # weights to bf16, so fp32 parity mode must take the XLA scan —
+        # mirrors the encoder gate in parseq_encode.)
         # Fused VMEM-resident decode kernel (ops/pallas/decode.py).
         # early_exit=True stops each crop TILE once all its crops emitted
         # EOS (positions past the stop get EOS-certain logits, like the

@@ -201,6 +201,14 @@ def extract_crops_perspective_batched(
     (gather-then-cast equals cast-then-gather; same tap weights, same
     clamp; only XLA fusion reassociation differs, ~1e-7 — tested)."""
     B, H, W, C = images.shape
+    if B * H * W > 2**31 - 1:
+        # The flat gather index (base + yy) * W + xx is int32 (x64 is off);
+        # past 2^31 jnp.take would silently clamp and return wrong pixels.
+        # Shapes are static under jit, so this raises at trace time.
+        raise ValueError(
+            f"page batch too large for int32 gather indexing: "
+            f"B*H*W = {B}*{H}*{W} = {B * H * W} > 2^31-1; split the batch"
+        )
     K = corners.shape[0]
     sx, sy = _quad_sample_points(corners, out_h, out_w)
     x0 = jnp.floor(sx)
