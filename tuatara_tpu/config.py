@@ -95,10 +95,19 @@ class OcrConfig:
     # ---- Box fitting ----
     # "axis" reproduces the reference's public output (axis-aligned min/max
     # bbox, tuatara.cpp:256-274) and its axis-aligned crops (tuatara.cpp:416).
-    # "rotated" enables PCA-oriented rotated box fitting + perspective-warp
-    # rectified crops (an improvement over the reference; it fits rotated
-    # rects but then crops axis-aligned anyway — tuatara.cpp:416).
+    # "rotated" enables rotated box fitting + perspective-warp rectified
+    # crops (an improvement over the reference; it fits rotated rects but
+    # then crops axis-aligned anyway — tuatara.cpp:416).
     box_mode: str = "axis"
+    # Rotated-rect fitter (box_mode="rotated" only). "exact" computes the
+    # true minimum-area rectangle of the dilated, content-clipped component
+    # (ops/minarearect.py: row-extreme profiles -> monotone-chain hull ->
+    # hull-edge direction sweep; matches cv2.minAreaRect / the reference's
+    # tuatara.cpp:177-179 up to fp rounding — cross-checked in
+    # tests/test_minarearect.py). "pca" is the cheaper second-moment
+    # approximation (ops/boxes._pca_corners); "exact" falls back to it per
+    # component on hull-budget overflow (not observed on real heatmaps).
+    rotated_fit: str = "exact"
 
     # Integer-arithmetic semantics of the reference's dilation radius formula
     # `int(sqrt(size * min(w,h) / (w*h) * 2))` with C++ integer division

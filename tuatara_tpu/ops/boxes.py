@@ -41,8 +41,11 @@ Box fitting: the public bbox format is axis-aligned min/max
 dilated point-set AABB directly (exact whenever the fitted minAreaRect is
 axis-aligned, i.e. all horizontal text; a rotated minAreaRect's corner AABB
 can be slightly larger — documented deviation). "rotated" mode additionally
-fits a PCA-oriented rotated rectangle from second moments + a projected
-extent pass, for the rectification path the reference never implemented.
+fits a rotated rectangle per component for the rectification path the
+reference never implemented: by default the EXACT minimum-area rectangle of
+the dilated, content-clipped component (ops/minarearect.py — matches
+cv2.minAreaRect / tuatara.cpp:177-179 up to fp rounding), or a cheaper PCA
+second-moment approximation with `rotated_fit="pca"`.
 """
 
 from __future__ import annotations
@@ -273,7 +276,22 @@ def extract_boxes(
         if member is None:  # pallas stats path doesn't materialize membership
             member = labels[:, :, None] == roots[None, None, :]
         reduced = member & keep2d[:, :, None]
-        corners = _pca_corners(member, reduced, H, W, grow_lt, grow_rb, boxes)
+        if cfg.rotated_fit == "exact":
+            # True minAreaRect of the dilated, clipped component (reference
+            # tuatara.cpp:162-179 semantics; ops/minarearect.py design
+            # notes). Falls back to the PCA fit per component only on
+            # hull-budget overflow.
+            from tuatara_tpu.ops.minarearect import (
+                min_area_rect_from_profiles, row_profiles,
+            )
+
+            rxmin, rxmax, rany = row_profiles(reduced)
+            exact, exact_ok = min_area_rect_from_profiles(
+                rxmin, rxmax, rany, grow_lt, grow_rb, cw, ch)
+            pca = _pca_corners(member, reduced, H, W, grow_lt, grow_rb, boxes)
+            corners = jnp.where(exact_ok[:, None, None], exact, pca)
+        else:
+            corners = _pca_corners(member, reduced, H, W, grow_lt, grow_rb, boxes)
     else:
         corners = _aabb_corners(boxes)
 
