@@ -482,6 +482,106 @@ def test_beam1_transcript_parity_traced_vs_jax(roundtrip, rng):
     assert np.all(np.asarray(logp3) >= np.asarray(logp1) - 1e-4)
 
 
+class _Normalized(torch.nn.Module):
+    """Surrogate of a traced artifact that normalizes INTERNALLY (SURVEY.md
+    quirk 2): the wrapper the upstream repos bake into their preprocess."""
+
+    def __init__(self, inner, mean, std):
+        super().__init__()
+        self.inner = inner
+        self.register_buffer("m", torch.tensor(mean).view(1, 3, 1, 1))
+        self.register_buffer("s", torch.tensor(std).view(1, 3, 1, 1))
+
+    def forward(self, x):
+        return self.inner((x - self.m) / self.s)
+
+
+def test_normalization_probe_detects_baked_transforms(tmp_path):
+    """First-contact insurance: traced artifacts that normalize internally
+    are DETECTED at conversion time, the transform is persisted into the
+    saved configs, and the engine-side forwards then match the traced
+    modules on the reference's [0,1] input contract."""
+    import jax.numpy as jnp
+
+    from tuatara_tpu.models.craft import craft_forward
+    from tuatara_tpu.models.parseq import parseq_forward
+    from tuatara_tpu.utils.convert import (
+        IMAGENET_MEAN, IMAGENET_STD, convert_torchscript_weights,
+    )
+    from tuatara_tpu.utils.weights import load_configs, load_weights_dir
+
+    torch.manual_seed(3)
+    craft_m = _Normalized(_TorchCraft().eval(), IMAGENET_MEAN, IMAGENET_STD).eval()
+    parseq_m = _Normalized(_TorchParseq(PARSEQ_CFG).eval(),
+                           (0.5, 0.5, 0.5), (0.5, 0.5, 0.5)).eval()
+    ref = tmp_path / "ref"
+    out = tmp_path / "out"
+    ref.mkdir()
+    with torch.no_grad():
+        torch.jit.save(torch.jit.trace(craft_m, torch.rand(1, 3, 64, 96)),
+                       str(ref / "craft_traced_torchscript_model.pt"))
+        torch.jit.save(torch.jit.trace(parseq_m, torch.rand(1, 3, 32, 128)),
+                       str(ref / "parseq_torchscript.bin"))
+
+    results = convert_torchscript_weights(str(ref), str(out),
+                                          craft_cfg=CRAFT_CFG,
+                                          parseq_cfg=PARSEQ_CFG)
+    assert results == {"craft": "imagenet", "parseq": "pm1"}, results
+
+    ccfg, pcfg, _ = load_configs(str(out))
+    assert tuple(np.round(ccfg.input_mean, 3)) == tuple(np.round(IMAGENET_MEAN, 3))
+    assert pcfg.input_mean == (0.5, 0.5, 0.5)
+
+    craft_p, parseq_p = load_weights_dir(str(out))
+    rng = np.random.default_rng(5)
+    x = rng.random((1, 48, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = craft_m(torch.tensor(
+            np.ascontiguousarray(x.transpose(0, 3, 1, 2)))).numpy()
+    got = np.asarray(craft_forward(craft_p, jnp.asarray(x), ccfg,
+                                   compute_dtype=jnp.float32)[0])
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+    crops = rng.random((2, 32, 128, 3)).astype(np.float32)
+    with torch.no_grad():
+        want_l = parseq_m(torch.tensor(
+            np.ascontiguousarray(crops.transpose(0, 3, 1, 2)))).numpy()
+    got_l = np.asarray(parseq_forward(parseq_p, jnp.asarray(crops), pcfg,
+                                      compute_dtype=jnp.float32,
+                                      early_exit=False))
+    ids_w = want_l.argmax(-1)
+    for n in range(want_l.shape[0]):
+        eos = np.argmax(ids_w[n] == 0) if (ids_w[n] == 0).any() \
+            else ids_w.shape[1] - 1
+        np.testing.assert_allclose(got_l[n, : eos + 1], want_l[n, : eos + 1],
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_normalization_probe_identity_on_plain_artifacts(tmp_path):
+    """Artifacts that take raw [0,1] inputs probe as identity and persist
+    NO transform (the default serving contract stays bit-identical)."""
+    from tuatara_tpu.utils.convert import convert_torchscript_weights
+    from tuatara_tpu.utils.weights import load_configs
+
+    torch.manual_seed(4)
+    ref = tmp_path / "ref"
+    out = tmp_path / "out"
+    ref.mkdir()
+    with torch.no_grad():
+        torch.jit.save(torch.jit.trace(_TorchCraft().eval(),
+                                       torch.rand(1, 3, 64, 96)),
+                       str(ref / "craft_traced_torchscript_model.pt"))
+        torch.jit.save(torch.jit.trace(_TorchParseq(PARSEQ_CFG).eval(),
+                                       torch.rand(1, 3, 32, 128)),
+                       str(ref / "parseq_torchscript.bin"))
+    results = convert_torchscript_weights(str(ref), str(out),
+                                          craft_cfg=CRAFT_CFG,
+                                          parseq_cfg=PARSEQ_CFG)
+    assert results == {"craft": "identity", "parseq": "identity"}, results
+    ccfg, pcfg, _ = load_configs(str(out))
+    assert ccfg.input_mean == () and pcfg.input_mean == ()
+
+
 @pytest.mark.slow
 def test_quantized_roundtrip_serving(roundtrip):
     """Converted weights compose with int8 quantized serving + calibration:

@@ -186,6 +186,15 @@ class CraftConfig:
     head_channels: Tuple[int, ...] = (32, 32, 16, 16)
     num_classes: int = 2           # region + affinity
     bn_eps: float = 1e-5
+    # Input normalization BAKED INTO the model contract: x -> (x - mean)/std
+    # applied to the [0,1] input at the top of the forward. Empty = identity
+    # (the reference feeds /255 only, tuatara.cpp:363-370). The weight
+    # converter's normalization probe (utils/convert.py
+    # probe_input_normalization) sets these automatically when a real traced
+    # artifact is detected to normalize internally (SURVEY.md quirk 2), so
+    # first contact with real weights serves correctly without code changes.
+    input_mean: Tuple[float, ...] = ()
+    input_std: Tuple[float, ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -225,6 +234,13 @@ class ParseqConfig:
     # bit-identical; TPU-only serving opt-in). Only affects
     # decode_mode="greedy"; beam/NAR always use the XLA path.
     decode_impl: str = "xla"
+    # Input normalization baked into the model contract (see
+    # CraftConfig.input_mean): (x - mean)/std on the [0,1] crops at the top
+    # of parseq_encode. Empty = identity (the reference feeds /255 only,
+    # tuatara.cpp:440-446). Set automatically by the converter's
+    # normalization probe on artifacts that normalize internally.
+    input_mean: Tuple[float, ...] = ()
+    input_std: Tuple[float, ...] = ()
 
     @property
     def num_tokens(self) -> int:

@@ -399,6 +399,16 @@ def _craft_apply(
 
     skips = {}
     h = x
+    if cfg.input_mean:
+        # Model-contract input normalization (converter-detected; see
+        # CraftConfig.input_mean). Per-channel stats need the full channel
+        # count, so the grayscale fast path broadcasts first.
+        if h.shape[-1] == 1 and len(cfg.input_mean) > 1:
+            h = jnp.broadcast_to(h, h.shape[:-1] + (len(cfg.input_mean),))
+        mean = jnp.asarray(cfg.input_mean, jnp.float32)
+        std = jnp.asarray(cfg.input_std or (1.0,) * len(cfg.input_mean),
+                          jnp.float32)
+        h = (h.astype(jnp.float32) - mean) / std
     plan = _vgg_plan(cfg)
     start = 0
     fused_pool_done = False

@@ -95,6 +95,13 @@ def parseq_encode(
     _pallas_interpret: bool = False,
 ) -> jnp.ndarray:
     """Encode crops [N, H, W, 3] (float in [0,1]) -> memory [N, S, D]."""
+    if cfg.input_mean:
+        # Model-contract input normalization (converter-detected; see
+        # ParseqConfig.input_mean).
+        mean = jnp.asarray(cfg.input_mean, jnp.float32)
+        std = jnp.asarray(cfg.input_std or (1.0,) * len(cfg.input_mean),
+                          jnp.float32)
+        images = (images.astype(jnp.float32) - mean) / std
     n, h, w, c = images.shape
     ph, pw = cfg.patch_size
     gh, gw = h // ph, w // pw

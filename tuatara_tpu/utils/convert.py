@@ -230,19 +230,25 @@ def convert_parseq_state_dict(sd: Dict[str, Any], cfg: ParseqConfig = ParseqConf
 
 
 def _load_torch_state_dict(path: str) -> Dict[str, Any]:
-    """TorchScript archive OR plain torch checkpoint -> numpy state dict.
+    return _load_torch(path)[0]
+
+
+def _load_torch(path: str):
+    """TorchScript archive OR plain torch checkpoint ->
+    (numpy state dict, executable jit module | None).
 
     First contact with real artifacts may find either format under the
     reference filenames (setup.sh:6 downloads opaque binaries): try
     `torch.jit.load` (the reference's own loader, tuatara.cpp:333/423),
     then fall back to `torch.load` accepting a bare state_dict or the
     common {'model'|'state_dict': ...} checkpoint wrappers. Raises with
-    both failure reasons if neither parses."""
+    both failure reasons if neither parses. The module (when the artifact
+    is executable TorchScript) feeds the normalization probe."""
     import torch
 
     try:
-        m = torch.jit.load(path, map_location="cpu")
-        return {k: v.numpy() for k, v in m.state_dict().items()}
+        m = torch.jit.load(path, map_location="cpu").eval()
+        return {k: v.numpy() for k, v in m.state_dict().items()}, m
     except Exception as jit_err:  # noqa: BLE001 — try the other format
         try:
             # Safe mode first: bare state dicts and tensor-dict wrappers
@@ -279,7 +285,106 @@ def _load_torch_state_dict(path: str) -> Dict[str, Any]:
         return {
             k: v.numpy() for k, v in obj.items()
             if hasattr(v, "numpy")
-        }
+        }, None
+
+
+# ---------------------------------------------------------------------------
+# Input-normalization probe (SURVEY.md quirk 2 — first-contact insurance).
+#
+# The reference feeds its traced models /255-only inputs (tuatara.cpp:363-370,
+# 440-446), but whether the TRACED GRAPHS normalize internally (upstream CRAFT
+# trains with ImageNet mean/std; upstream PARSEQ with (x-0.5)/0.5) is
+# unobservable without the artifacts. The probe answers it at conversion time:
+# run the executable traced module on a fixed [0,1] input and find which input
+# transform makes the converted JAX forward reproduce its output. A detected
+# transform is baked into the saved CraftConfig/ParseqConfig
+# (input_mean/input_std), which the model forwards apply — so the engine
+# serves real artifacts correctly with no code change either way.
+# ---------------------------------------------------------------------------
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+NORM_CANDIDATES = {
+    "identity": ((), ()),
+    # upstream-PARSEQ transform: 2x-1, i.e. mean .5 / std .5
+    "pm1": ((0.5, 0.5, 0.5), (0.5, 0.5, 0.5)),
+    "imagenet": (IMAGENET_MEAN, IMAGENET_STD),
+    # same stats if the trace was fed channel-swapped inputs (quirk 1)
+    "imagenet_bgr": (IMAGENET_MEAN[::-1], IMAGENET_STD[::-1]),
+}
+
+
+def probe_input_normalization(
+    module,
+    params,
+    model: str,
+    cfg,
+    rtol: float = 2e-2,
+    atol: float = 2e-2,
+):
+    """Which input transform makes the converted JAX forward match the traced
+    module? -> candidate name from NORM_CANDIDATES, or "unknown".
+
+    `module`: an executable torch.jit module (the probe is skipped for plain
+    state-dict checkpoints — there is no graph to execute). `model`:
+    "craft" | "parseq". Comparison runs in fp32 with loose tolerances: the
+    probe discriminates TRANSFORMS (identity vs imagenet shifts outputs by
+    whole activations), not kernel-level numerics."""
+    import numpy as np
+    import torch
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    if model == "craft":
+        x = rng.random((1, 64, 96, 3)).astype(np.float32)
+    elif model == "parseq":
+        x = rng.random((2, 32, 128, 3)).astype(np.float32)
+    else:
+        raise ValueError(f"model must be 'craft' or 'parseq', got {model!r}")
+
+    with torch.no_grad():
+        out = module(torch.tensor(np.ascontiguousarray(x.transpose(0, 3, 1, 2))))
+    if isinstance(out, (tuple, list)):
+        out = out[0]  # reference contract: element 0 (tuatara.cpp:382-384)
+    want = np.asarray(out.float())
+    if model == "craft" and want.ndim == 4 and want.shape[1] == 2 \
+            and want.shape[-1] != 2:
+        want = want.transpose(0, 2, 3, 1)  # NCHW head -> the NHWC contract
+
+    def forward(xin):
+        if model == "craft":
+            from tuatara_tpu.models.craft import craft_forward
+
+            return np.asarray(craft_forward(
+                params, jnp.asarray(xin), cfg,
+                compute_dtype=jnp.float32)[0])
+        from tuatara_tpu.models.parseq import parseq_forward
+
+        return np.asarray(parseq_forward(
+            params, jnp.asarray(xin), cfg, compute_dtype=jnp.float32,
+            early_exit=False))
+
+    # Score EVERY candidate and take the best within tolerance (several can
+    # land inside a loose bound on small models; the true transform is
+    # orders of magnitude closer). Ties within 2x prefer identity — serving
+    # must not silently add a transform the evidence can't separate from
+    # none.
+    scale = float(np.max(np.abs(want))) or 1.0
+    errs = {}
+    for name, (mean, std) in NORM_CANDIDATES.items():
+        xin = x if not mean else (x - np.float32(mean)) / np.float32(std)
+        got = forward(xin)
+        if got.shape != want.shape:
+            return "unknown"  # architecture mismatch; transforms can't fix it
+        errs[name] = float(np.max(np.abs(got - want)))
+    best = min(errs, key=errs.get)
+    if errs[best] > atol + rtol * scale:
+        return "unknown"
+    if best != "identity" and errs["identity"] <= 2.0 * errs[best]:
+        return "identity"
+    return best
 
 
 def convert_torchscript_weights(
@@ -287,22 +392,63 @@ def convert_torchscript_weights(
     out_weights_dir: str,
     craft_cfg: CraftConfig = CraftConfig(),
     parseq_cfg: ParseqConfig = ParseqConfig(),
-) -> None:
+    probe_normalization: bool = True,
+) -> Dict[str, str]:
     """One-shot conversion of the reference's weights_dir (TorchScript
     artifacts, names per tuatara.cpp:333/423; plain torch checkpoints under
-    the same filenames also accepted) into the engine's npz format."""
+    the same filenames also accepted) into the engine's npz format.
+
+    When the artifacts are executable traced modules, the input-
+    normalization probe runs on each (see probe_input_normalization) and a
+    detected non-identity transform is persisted into the saved model
+    configs so the engine serves it automatically. Returns the per-model
+    probe results ({"craft": name, "parseq": name}; "skipped" for
+    non-executable checkpoints, "unknown" when nothing matched — the latter
+    is LOUD: it means first contact needs investigation before serving).
+    """
+    import dataclasses
+    import logging
     import os
 
     from tuatara_tpu.utils.weights import save_weights_dir
 
-    craft_sd = _load_torch_state_dict(
-        os.path.join(reference_weights_dir, "craft_traced_torchscript_model.pt"))
-    parseq_sd = _load_torch_state_dict(
-        os.path.join(reference_weights_dir, "parseq_torchscript.bin"))
+    logger = logging.getLogger("tuatara_tpu.convert")
+    results: Dict[str, str] = {}
+    specs = {
+        "craft": ("craft_traced_torchscript_model.pt", craft_cfg,
+                  convert_craft_state_dict),
+        "parseq": ("parseq_torchscript.bin", parseq_cfg,
+                   convert_parseq_state_dict),
+    }
+    params, cfgs = {}, {}
+    for model, (fname, cfg, convert_fn) in specs.items():
+        path = os.path.join(reference_weights_dir, fname)
+        sd, module = _load_torch(path)
+        params[model] = convert_fn(sd, cfg)
+        verdict = "skipped"
+        if probe_normalization and module is not None:
+            verdict = probe_input_normalization(module, params[model], model, cfg)
+            if verdict in ("identity", "skipped"):
+                pass
+            elif verdict == "unknown":
+                logger.warning(
+                    "%s: traced output matches NO known input transform "
+                    "(identity/pm1/imagenet) — do not serve before "
+                    "investigating (SURVEY.md quirk 2)", model)
+            else:
+                mean, std = NORM_CANDIDATES[verdict]
+                cfg = dataclasses.replace(cfg, input_mean=mean, input_std=std)
+                logger.warning(
+                    "%s: traced artifact normalizes internally (%s); baked "
+                    "into the saved config's input_mean/input_std", model,
+                    verdict)
+        cfgs[model] = cfg
+        results[model] = verdict
     save_weights_dir(
         out_weights_dir,
-        convert_craft_state_dict(craft_sd, craft_cfg),
-        convert_parseq_state_dict(parseq_sd, parseq_cfg),
-        craft_config=craft_cfg,
-        parseq_config=parseq_cfg,
+        params["craft"],
+        params["parseq"],
+        craft_config=cfgs["craft"],
+        parseq_config=cfgs["parseq"],
     )
+    return results
