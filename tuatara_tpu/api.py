@@ -329,6 +329,24 @@ class OcrEngine:
                 "count": out["count"],
             }
 
+        batched_postproc = jax.vmap(postproc)
+        if self.mesh is not None:
+            # Postproc is embarrassingly page-parallel, but under plain
+            # GSPMD two artifacts couple the devices: the CC fixpoint
+            # while-loop's convergence predicate is all-reduced EVERY
+            # iteration (a batched while's condition reduces over the
+            # global batch), and top_k's sort is all-gathered and re-run
+            # replicated on every device (conservative sort partitioning).
+            # shard_map over dp makes both device-local: each device labels
+            # only its own pages and loops to ITS convergence. The conv
+            # trunk stays GSPMD (it partitions cleanly). Proven collective-
+            # free by the dryrun's HLO assert (__graft_entry__.py).
+            from jax.sharding import PartitionSpec as P
+
+            batched_postproc = jax.shard_map(
+                batched_postproc, mesh=self.mesh,
+                in_specs=P("dp"), out_specs=P("dp"), check_vma=False)
+
         def detect(params, images):
             if images.ndim == 3:  # [B, H, W] grayscale -> [B, H, W, 1]
                 images = images[..., None]
@@ -338,7 +356,7 @@ class OcrEngine:
             canvases = jax.vmap(prep)(images)
             scores, _ = craft_forward(params, canvases, ccfg,
                                       compute_dtype=dtype)
-            return jax.vmap(postproc)(scores)
+            return batched_postproc(scores)
 
         detect = self._jit(detect)
         self._detect_fns[key] = detect
@@ -458,7 +476,20 @@ class OcrEngine:
         """Recognition over a pre-extracted crop slab (bench/warmup path)."""
         if n in self._recognize_fns:
             return self._recognize_fns[n]
-        recognize = self._jit(self._recognize_body)
+        body = self._recognize_body
+        if self.mesh is not None:
+            # Per-crop work is independent: shard_map over dp keeps the AR
+            # decode's batch-EOS early-exit while_loop DEVICE-LOCAL (under
+            # plain GSPMD its "all sequences done?" predicate is all-reduced
+            # every decode step) and lets each device stop at its own
+            # shard's longest word. Params replicated, slab dp-sharded —
+            # collective-free (asserted by the dryrun HLO check).
+            from jax.sharding import PartitionSpec as P
+
+            body = jax.shard_map(
+                body, mesh=self.mesh, in_specs=(P(), P("dp")),
+                out_specs=P("dp"), check_vma=False)
+        recognize = self._jit(body)
         self._recognize_fns[n] = recognize
         return recognize
 
