@@ -17,11 +17,121 @@ opaque TorchScript). This module provides what its retrain TODO would need
 
 from __future__ import annotations
 
+import functools
+import glob
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from tuatara_tpu.tokenizer import Tokenizer
+
+
+@functools.lru_cache(maxsize=1)
+def system_fonts() -> Tuple[str, ...]:
+    """Scalable .ttf fonts available for the "font" render style.
+
+    The bitmap default (PIL's built-in ~7x11 font) caps legibility — 'O'/'0'
+    and 'l'/'I'/'1' are near-ambiguous at that size, which floors the
+    achievable recognizer accuracy. TrueType rendering at realistic glyph
+    sizes (DejaVu Sans/Serif/Mono + bolds ship in this image) is both more
+    legible and more varied, so it is the production-training style
+    (scripts/train_eval_synthetic.py --style font). Returns () when no
+    fonts are installed; callers must then fall back to "bitmap"."""
+    roots = ("/usr/share/fonts", "/usr/local/share/fonts",
+             os.path.expanduser("~/.fonts"))
+    found: List[str] = []
+    for r in roots:
+        found.extend(sorted(glob.glob(os.path.join(r, "**", "*.ttf"),
+                                      recursive=True)))
+    return tuple(found)
+
+
+@functools.lru_cache(maxsize=256)
+def _load_font(path: str, size: int):
+    from PIL import ImageFont
+
+    return ImageFont.truetype(path, size)
+
+
+def render_word_gray(
+    text: str,
+    rng: np.random.Generator,
+    height: int = 32,
+    width: int = 128,
+) -> np.ndarray:
+    """TrueType-render one word -> [height, width] uint8 grayscale, NO
+    photometric augmentation — the fast pool-renderer core (~2x the RGB
+    float path; this host has ONE core, so pool render throughput bounds
+    training-data diversity). Random font from `system_fonts`, random size
+    16-40 px, tight-cropped with per-side margins proportional to glyph
+    height (uniform [-0.18h, +0.27h] — the detector-box margin
+    distribution measured at h=11 scaled to every size). Photometrics
+    (contrast/brightness/noise/uint8-snap) are applied on DEVICE per step
+    (train.run._augment_gray_u8) so a pool entry shows different pixels
+    every epoch — re-randomized photometrics block the pixel-level
+    memorization a fixed float pool invites."""
+    from PIL import Image, ImageDraw
+
+    fonts = system_fonts()
+    if not fonts:
+        raise RuntimeError("TrueType rendering requires installed .ttf "
+                           "fonts (system_fonts() found none)")
+    size = int(rng.integers(16, 41))
+    font = _load_font(fonts[int(rng.integers(0, len(fonts)))], size)
+    pad = size  # generous canvas; we crop to textbbox below
+    w0 = int(font.getlength(text)) + 2 * pad
+    img = Image.new("L", (max(w0, 2 * pad + 2), 3 * size), 255)
+    d = ImageDraw.Draw(img)
+    d.text((pad, pad), text, fill=0, font=font)
+    x0, y0, x1, y1 = d.textbbox((pad, pad), text, font=font)
+    h = max(y1 - y0, 1)
+    ml, mt, mr, mb = (int(round(v)) for v in
+                      rng.uniform(-0.18, 0.27, 4) * h)
+    if (x1 + mr) - (x0 - ml) < 2:
+        ml, mr = 1, 1
+    if (y1 + mb) - (y0 - mt) < 2:
+        mt, mb = 1, 1
+    img = img.crop((x0 - ml, y0 - mt, x1 + mr, y1 + mb)).resize(
+        (width, height), Image.BILINEAR)
+    return np.asarray(img, np.uint8)
+
+
+def word_pool(
+    n: int,
+    tokenizer: Tokenizer,
+    rng: np.random.Generator,
+    max_length: int = 25,
+    min_len: int = 1,
+    max_len: int = 12,
+    charset: Optional[str] = None,
+    out: Optional[Dict[str, np.ndarray]] = None,
+    start: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Render n TrueType word crops into a compact uint8-grayscale pool:
+    {"crops_u8" [n,32,128] uint8, "labels" [n,L+2] i32, "lengths" [n] i32}.
+
+    12x smaller than `word_batch`'s float RGB output — the format the
+    production trainer keeps host-side and refreshes from a background
+    thread (scripts/train_production.py). Pass `out` (+ `start`) to
+    overwrite rows of an existing pool in place (the refresher path)."""
+    pool_chars = charset or tokenizer.charset[:62]
+    if out is None:
+        out = {
+            "crops_u8": np.zeros((n, 32, 128), np.uint8),
+            "labels": np.zeros((n, max_length + 2), np.int32),
+            "lengths": np.zeros((n,), np.int32),
+        }
+    for i in range(n):
+        k = int(rng.integers(min_len, max_len + 1))
+        text = "".join(pool_chars[int(j)]
+                       for j in rng.integers(0, len(pool_chars), k))
+        ids, ln = tokenizer.encode(text, max_length)
+        j = start + i
+        out["crops_u8"][j] = render_word_gray(text, rng)
+        out["labels"][j] = ids
+        out["lengths"][j] = ln
+    return out
 
 
 def render_word(
@@ -30,6 +140,7 @@ def render_word(
     height: int = 32,
     width: int = 128,
     tight: bool = False,
+    style: str = "bitmap",
 ) -> np.ndarray:
     """Render one word -> [height, width, 3] float32 in [0, 1].
 
@@ -44,10 +155,24 @@ def render_word(
     recognizer's 32x128 input, ops/warp.extract_crops). Training under the
     detector's actual margin distribution is what closes the word-level ->
     end-to-end accuracy gap (symmetric 0-7 px margins left a 6.5% -> 22%
-    CER cliff on engine-extracted crops)."""
+    CER cliff on engine-extracted crops).
+
+    `style="font"`: TrueType rendering (random system font, random size
+    16-40 px) instead of the tiny bitmap font — the production-training
+    style (see `system_fonts`). Always tight-cropped, with per-side margins
+    drawn PROPORTIONAL to glyph height (uniform in [-0.18h, +0.27h]) so the
+    detector-box margin distribution the bitmap path measured at h=11
+    (+-2-3 px) covers every rendered size."""
     from PIL import Image, ImageDraw
 
-    if not tight:
+    if style == "font":
+        gray = render_word_gray(text, rng, height, width)
+        arr = gray.astype(np.float32) / 255.0
+        arr = arr * rng.uniform(0.6, 1.0) + rng.uniform(0.0, 0.3)
+        arr = np.clip(arr + rng.normal(0, 0.03, arr.shape), 0, 1)
+        arr = np.round(arr * 255.0) / 255.0
+        return np.repeat(arr[..., None], 3, axis=-1).astype(np.float32)
+    elif not tight:
         img = Image.new("L", (width, height), 255)
         d = ImageDraw.Draw(img)
         # Default bitmap font; jitter position and scale via resize.
@@ -88,6 +213,7 @@ def word_batch(
     max_len: int = 8,
     charset: Optional[str] = None,
     tight: bool = False,
+    style: str = "bitmap",
 ) -> Dict[str, np.ndarray]:
     """Random word crops + encoded labels for PARSEQ training.
 
@@ -102,7 +228,7 @@ def word_batch(
         text = "".join(pool[int(i)] for i in rng.integers(0, len(pool), k))
         ids, ln = tokenizer.encode(text, max_length)
         texts.append(text)
-        crops.append(render_word(text, rng, tight=tight))
+        crops.append(render_word(text, rng, tight=tight, style=style))
         labels.append(ids)
         lengths.append(ln)
     return {
@@ -185,6 +311,7 @@ def synthetic_text_pages(
     max_len: int = 8,
     charset: Optional[str] = None,
     upscale: int = 1,
+    style: str = "bitmap",
 ) -> Dict:
     """Labeled synthetic TEXT pages: real rendered glyphs, heat targets,
     and per-page ground truth — the full train->eval substrate.
@@ -202,10 +329,18 @@ def synthetic_text_pages(
 
     Returns {"pages" [b,S,S,3] float32 0..1, "heat" [b,S/2,S/2,2],
     "truths" list[b] of [{text, bbox}]} with bboxes in page pixels.
+
+    `style="font"` draws each word in a random TrueType font at a random
+    size (10-22 px on the base canvas; see `system_fonts`) instead of the
+    tiny bitmap font — the production-training style, matching
+    `render_word(style="font")` crops.
     """
     from PIL import Image, ImageDraw
 
     pool = charset or tokenizer.charset[:62]
+    fonts = system_fonts() if style == "font" else ()
+    if style == "font" and not fonts:
+        raise RuntimeError("style='font' requires installed .ttf fonts")
     base = size // upscale
     pages = np.ones((b, size, size, 3), np.float32)
     heats = np.zeros((b, size // 2, size // 2, 2), np.float32)
@@ -219,7 +354,11 @@ def synthetic_text_pages(
         for _ in range(words_per_page):
             k = int(rng.integers(min_len, max_len + 1))
             text = "".join(pool[int(j)] for j in rng.integers(0, len(pool), k))
-            x0t, y0t, x1t, y1t = d.textbbox((0, 0), text)
+            font = None
+            if fonts:
+                font = _load_font(fonts[int(rng.integers(0, len(fonts)))],
+                                  int(rng.integers(10, 23)))
+            x0t, y0t, x1t, y1t = d.textbbox((0, 0), text, font=font)
             w, h = x1t - x0t, y1t - y0t
             if w + 2 * sep >= base or h + 2 * sep >= base:
                 continue
@@ -233,7 +372,7 @@ def synthetic_text_pages(
             else:
                 continue
             occupied.append(cand)
-            d.text((x - x0t, y - y0t), text, fill=0)
+            d.text((x - x0t, y - y0t), text, fill=0, font=font)
             bbox = [float(v * upscale) for v in (x, y, x + w, y + h)]
             truth.append({"text": text, "bbox": bbox})
             boxes.append(tuple(v / 2 for v in bbox))
