@@ -500,6 +500,36 @@ def main() -> int:
                             repeats=2, depth=2, prefetch=4)
         extras["resume_pages_per_sec"] = round(v, 3)
 
+    def resume_latency():
+        # The --latency preset (OcrConfig.latency): exact-fit /32 canvas,
+        # fine rec buckets, fused kernels. Three views: pipelined e2e
+        # (tunnel included), compute-only (device-resident input), and the
+        # single-dispatch device ms/page floor (what one `engine.run` costs
+        # on-device, separated from tunnel noise per VERDICT r4 #6).
+        from tuatara_tpu.config import OcrConfig
+
+        leng = OcrEngine(OcrConfig.latency(), weights_dir=weights_dir)
+        leng.run(resume_img)  # compile this geometry
+        host_batches = [resume_img[None] + np.uint8(i % 5) for i in range(8)]
+        v, _ = _best_stream(leng, host_batches, repeats=2, depth=2,
+                            prefetch=4)
+        extras["resume_latency_pages_per_sec"] = round(v, 3)
+        dev_img = jax.device_put(resume_img[None])
+        dev_batches_r = [dev_img + np.uint8(i % 5) for i in range(8)]
+        leng.run_pages(dev_img)
+        v, _ = _best_stream(leng, dev_batches_r, repeats=2, depth=2)
+        extras["resume_latency_compute_pages_per_sec"] = round(v, 3)
+        # Device floor: one detect + fused lazy-crop/recognize dispatch
+        # chain (engine._dispatch — no host sync), measured queue-to-
+        # readback on device-resident input. This is the page's on-device
+        # cost with tunnel/H2D/host-decode excluded.
+        def disp(_p, im):
+            st = leng._dispatch(im)
+            return (st["det"]["valid"], st["rec"])
+
+        ms = _queued_ms(disp, (None, dev_img))
+        extras["resume_latency_device_ms_per_page"] = round(ms, 2)
+
     def rotated():
         # BASELINE.md config (3): rotated-box rectification path.
         rot_eng = OcrEngine(
@@ -584,6 +614,7 @@ def main() -> int:
     extra("ms_crop_extended", ms_crop_extended)
     extra("mfu", mfu)
     extra("resume", resume)
+    extra("resume_latency", resume_latency)
     extra("rotated", rotated)
     extra("mixed", mixed_sizes)
     extra("beam", beam)

@@ -84,3 +84,34 @@ def test_cli_eval_funsd_schema(tmp_path, capsys):
     scores = json.loads(line[len("eval: "):])
     # The scorer ran over the FUNSD-schema truth: one ground-truth box.
     assert scores["tp"] + scores["fn"] == 1
+
+
+def test_latency_preset_config():
+    """OcrConfig.latency: exact-fit canvas, finer buckets, overridable; the
+    Pallas impls are TPU-only so on this CPU test backend they stay None."""
+    import jax
+
+    from tuatara_tpu.config import OcrConfig
+
+    cfg = OcrConfig.latency()
+    assert cfg.canvas_bucket == 32
+    assert 16 in cfg.rec_buckets
+    assert cfg.page_batch == 1
+    if jax.default_backend() != "tpu":
+        assert cfg.encoder_impl is None and cfg.decode_impl is None
+    over = OcrConfig.latency(box_mode="rotated", canvas_bucket=64)
+    assert over.box_mode == "rotated" and over.canvas_bucket == 64
+
+
+@pytest.mark.slow
+def test_cli_latency_flag(tmp_path, capsys):
+    """--latency drives the preset end-to-end (CPU: XLA lowerings)."""
+    from PIL import Image
+
+    img = np.full((96, 120, 3), 255, np.uint8)
+    img[20:30, 10:60] = 0
+    img_path = tmp_path / "page.png"
+    Image.fromarray(img).save(img_path)
+    rc = cli.main([str(img_path), GOLDEN_WEIGHTS, "--latency",
+                   "--canvas-size", "128"])
+    assert rc == 0

@@ -50,6 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "VMEM-resident decode kernel (memory K/V + cache "
                         "in VMEM across all steps; bf16-class divergence, "
                         "TPU-only); default xla")
+    p.add_argument("--latency", action="store_true",
+                   help="single-image latency preset (OcrConfig.latency): "
+                        "exact-fit /32 detect canvas instead of the "
+                        "256-bucket, finer recognition buckets, fused "
+                        "Pallas recognizer kernels; explicit flags still "
+                        "override. One compile per page geometry.")
     p.add_argument("--quantized", action="store_true",
                    help="int8 detector + recognizer encoder (~2x quantized-"
                         "layer MXU rate; not bit-parity with the bf16 path "
@@ -127,7 +133,12 @@ def main(argv=None) -> int:
             overrides["charset"] = STANDARD_CHARSET
         else:
             overrides["reference_charset"] = True
-    config = dataclasses.replace(DEFAULT_CONFIG, **overrides)
+    if args.latency:
+        from tuatara_tpu.config import OcrConfig
+
+        config = OcrConfig.latency(**overrides)
+    else:
+        config = dataclasses.replace(DEFAULT_CONFIG, **overrides)
 
     image = load_image(args.image)
     engine = get_engine(config, args.weights_dir)

@@ -151,6 +151,34 @@ class OcrConfig:
     #   "rgb":    both models see RGB              (clean mode)
     channel_mode: str = "python"
 
+    @classmethod
+    def latency(cls, **overrides) -> "OcrConfig":
+        """Batch-1 single-image serving preset (the reference's CLI shape:
+        one image in, words out — examples/resume.cpp).
+
+        Throughput serving amortizes canvas padding over a page batch; at
+        batch 1 every padded pixel is pure added latency. This preset
+        fits the detect canvas exactly to the page's /32 geometry
+        (canvas_bucket=32 — e.g. 607x763 -> 608x768 instead of the
+        768x768 bucket, 21% less detector compute), adds a finer
+        recognition bucket so sparse pages pay fewer wasted crop slots,
+        and serves the fused Pallas recognizer kernels. Trade-off: one
+        compiled detect program per distinct /32 page geometry (first hit
+        per geometry pays the compile; a fixed-format scanner pays once).
+        Keyword overrides win, so `OcrConfig.latency(box_mode="rotated")`
+        composes. The Pallas recognizer kernels are TPU-only; on other
+        backends the preset keeps the XLA lowerings (the factory reads the
+        ambient default backend — pass encoder_impl/decode_impl to force)."""
+        import jax  # late import: config stays importable without a backend
+
+        on_tpu = jax.default_backend() == "tpu"
+        base = dict(canvas_bucket=32, rec_buckets=(16, 32, 64, 128, 256),
+                    encoder_impl="pallas" if on_tpu else None,
+                    decode_impl="pallas" if on_tpu else None,
+                    page_batch=1)
+        base.update(overrides)
+        return cls(**base)
+
     @property
     def heatmap_size(self) -> Tuple[int, int]:
         s = self.canvas_size // self.ratio_net
