@@ -273,8 +273,12 @@ def main() -> int:
     forced, n_boxes = _forced_geometry(h, w, DEFAULT_CONFIG.max_boxes, PAGES)
     # Impl switches ride OcrConfig (serving-level overrides) rather than an
     # explicit ParseqConfig so a weights_dir's stored architecture wins.
+    # rec_slab_multiple=64: the steady dense load pads 1856 live crops to
+    # 2048 at the default ladder — 64-granularity serves an exact 1856
+    # slab (~10% recognizer compute back; config.py documents the trade).
     pallas_cfg = dataclasses.replace(DEFAULT_CONFIG, encoder_impl="pallas",
-                                     decode_impl="pallas")
+                                     decode_impl="pallas",
+                                     rec_slab_multiple=64)
     dense = _dense_engine(OcrEngine, forced)(pallas_cfg,
                                              weights_dir=weights_dir)
     dense.run_pages(pages)  # compile detect + dense crop/recognize slab
@@ -590,7 +594,8 @@ def main() -> int:
         # fused bf16 kernels measure faster than the int8 XLA encoder).
         ccfg = dataclasses.replace(DEFAULT_CONFIG, quantized_serving=True,
                                    encoder_impl="pallas",
-                                   decode_impl="pallas")
+                                   decode_impl="pallas",
+                                   rec_slab_multiple=64)
         ceng = _dense_engine(OcrEngine, forced)(ccfg)
         ceng.calibrate(pages)
         ceng.run_pages(pages_dev)
@@ -602,6 +607,24 @@ def main() -> int:
         v, _ = _best_stream(ceng, dense_batches, repeats=2,
                             prefetch=4, depth=2)
         extras["quantized_calibrated_pallas_dense_e2e_pages_per_sec"] = \
+            round(v, 3)
+
+    def composed_exact_canvas():
+        # The composed config + exact-fit /32 canvas (canvas_bucket=32):
+        # this page's 754x1000 canvas becomes 1024x768 instead of the
+        # 1056x800 bucket — ~7% less detector work, identical outputs
+        # (content-masked padding either way).
+        ccfg = dataclasses.replace(DEFAULT_CONFIG, quantized_serving=True,
+                                   encoder_impl="pallas",
+                                   decode_impl="pallas", canvas_bucket=32,
+                                   rec_slab_multiple=64)
+        ceng = _dense_engine(OcrEngine, forced)(ccfg,
+                                                weights_dir=weights_dir)
+        ceng.calibrate(pages)
+        ceng.run_pages(pages_dev)
+        ceng.run_pages(pages_dev)
+        v, _ = _best_stream(ceng, dev_batches[:6], repeats=2, depth=2)
+        extras["composed_exact_canvas_dense_compute_pages_per_sec"] = \
             round(v, 3)
 
     extra("sparse_e2e", sparse_e2e)
@@ -620,6 +643,7 @@ def main() -> int:
     extra("beam", beam)
     extra("quantized", quantized)
     extra("quantized_pallas", quantized_pallas)
+    extra("composed_exact_canvas", composed_exact_canvas)
 
     print(json.dumps({
         "metric": "funsd_pages_per_sec_dense_e2e",

@@ -893,12 +893,16 @@ class OcrEngine:
             self._account(b_real)
             return results
 
-        # Oversized totals round up to a multiple of max_boxes: a coarse
-        # ladder (at most `b` rungs) so varied multi-page workloads can't
-        # grow the compiled-program cache without bound. Clamp to b*K: the
-        # gather can't produce more rows.
-        bucket = self._bucket(total) if total <= K else K * ((total + K - 1) // K)
-        bucket = min(bucket, b * K)
+        # Oversized totals round up to a multiple of rec_slab_multiple
+        # (default: max_boxes — a coarse ladder, at most `b` rungs, so
+        # varied multi-page workloads can't grow the compiled-program cache
+        # without bound; see OcrConfig.rec_slab_multiple for the fine-
+        # granularity trade). Clamp to b*K: the gather can't produce more
+        # rows.
+        gran = self.config.rec_slab_multiple or K
+        bucket = (self._bucket(total) if total <= K
+                  else gran * ((total + gran - 1) // gran))
+        bucket = min(max(bucket, self.config.rec_buckets[0]), b * K)
         fallback = spec is None or spec < total
         if fallback:
             # No / failed speculation: one correctly-sized pass. (With a

@@ -140,6 +140,14 @@ class OcrConfig:
     # Recognition runs on the smallest bucket >= the live box count so sparse
     # pages don't pay for the full box budget; each bucket compiles once.
     rec_buckets: Tuple[int, ...] = (32, 64, 128, 256)
+    # Oversized recognition slabs (live boxes > max_boxes on a page batch)
+    # round up to a multiple of this. None = max_boxes (a coarse ladder: at
+    # most `page_batch` compiled rungs, robust to varying workloads). A
+    # finer value (e.g. 64) trims slab padding — the bench's dense load
+    # pads 1856 live crops to 2048 at the default, ~10% wasted recognizer
+    # compute — at the cost of more compiled rungs and more speculation
+    # fallbacks when batch box counts vary. Best for steady dense loads.
+    rec_slab_multiple: Optional[int] = None
 
     # ---- Channel-order parity (SURVEY.md quirk 1) ----
     # The reference feeds its two models *different* channel orders: the full
