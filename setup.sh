@@ -46,6 +46,13 @@ if [ ! -d "weights" ]; then
         echo "  python -m tuatara_tpu.convert weights_torch weights" >&2
         echo "  python tests/gen_pretrained_fixture.py weights" >&2
         echo "Or rehearse the same chain offline: ./setup.sh --dry-run" >&2
+        if [ -f "evals/production_weights/craft.npz" ]; then
+            echo "Falling back to the committed synthetic-trained" \
+                 "production-config weights (evals/production_weights —" \
+                 "full VGG16-BN CRAFT + ViT-S d384 PARSEQ trained on" \
+                 "TrueType synthetic data; scripts/train_production.py)." >&2
+            ln -sfn evals/production_weights weights
+        fi
     fi
 else
     echo "The weights directory already exists. Skipping download."
