@@ -384,7 +384,7 @@ def main() -> int:
     def dense_xla_encoder():
         # The same dense workload on the default XLA encoder — the
         # round-over-round continuity number (pre-pallas headline).
-        dxe = _dense_engine(OcrEngine, forced)()
+        dxe = _dense_engine(OcrEngine, forced)(weights_dir=weights_dir)
         dxe.run_pages(pages)
         dxe.run_pages(pages)
         v, _ = _best_stream(dxe, dense_batches, repeats=2,
@@ -554,7 +554,12 @@ def main() -> int:
         table_img = load_image(asset_path("table_english.png"))
         mixed = [img[..., None], table_img, resume_img, img[..., None],
                  table_img, resume_img]
-        engine.run_mixed(mixed)  # compile all shapes
+        # Two warmups: the first compiles detect + sized-recognition per
+        # shape and seeds each shape's speculative bucket; the second
+        # compiles the SPECULATIVE (shape, bucket) programs those seeds
+        # imply. Only then is the loop steady-state.
+        engine.run_mixed(mixed)
+        engine.run_mixed(mixed)
         t0 = time.perf_counter()
         for _ in range(3):
             engine.run_mixed(mixed)
@@ -578,7 +583,7 @@ def main() -> int:
         # quantization matters): an extra metric, not the headline — not
         # bit-parity (config.py).
         qcfg = dataclasses.replace(DEFAULT_CONFIG, quantized_serving=True)
-        qeng = _dense_engine(OcrEngine, forced)(qcfg)
+        qeng = _dense_engine(OcrEngine, forced)(qcfg, weights_dir=weights_dir)
         qeng.run_pages(pages_dev)
         v, _ = _best_stream(qeng, dev_batches[:6], repeats=2, depth=2)
         extras["quantized_dense_compute_pages_per_sec"] = round(v, 3)
@@ -596,7 +601,7 @@ def main() -> int:
                                    encoder_impl="pallas",
                                    decode_impl="pallas",
                                    rec_slab_multiple=64)
-        ceng = _dense_engine(OcrEngine, forced)(ccfg)
+        ceng = _dense_engine(OcrEngine, forced)(ccfg, weights_dir=weights_dir)
         ceng.calibrate(pages)
         ceng.run_pages(pages_dev)
         ceng.run_pages(pages_dev)

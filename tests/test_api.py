@@ -214,7 +214,7 @@ def test_run_stream_matches_run_pages(engine):
     ]
     want = [engine.run_pages(b) for b in batches]
     # Reset speculation state so the stream starts cold like a fresh caller.
-    engine._spec_bucket = engine._spec_batch = None
+    engine._spec.clear()
     got = engine.run_stream(list(batches), prefetch=2, depth=2)
     assert got == want
 

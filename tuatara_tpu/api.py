@@ -265,10 +265,16 @@ class OcrEngine:
         # Cumulative serving counters since construction / reset_stats():
         # pages, batches, boxes, per-stage seconds, speculation hit/miss.
         self.stats: Dict[str, float] = self._fresh_stats()
-        # Speculative-recognition state: last batch's bucket + batch size
-        # (see run_pages — lets the dispatch chain skip the count round-trip).
-        self._spec_bucket: Optional[int] = None
-        self._spec_batch: Optional[int] = None
+        # Speculative-recognition state, keyed by the full batch geometry
+        # (b, h, w, c) -> last bucket served for that shape (see run_pages —
+        # lets the dispatch chain skip the count round-trip). Keying by
+        # geometry (not just batch size) keeps interleaved mixed-shape
+        # workloads (run_mixed) speculating each shape at ITS OWN steady
+        # bucket: a single global pair let shape A's bucket drive shape B's
+        # speculative program, compiling fresh (shape, bucket) combinations
+        # mid-serve. Size is bounded by the compiled-program cache's own
+        # shape ladder, so no eviction is needed.
+        self._spec: Dict[Tuple[int, int, int, int], int] = {}
 
     # ------------------------------------------------------------------
     # Stage programs (compiled once per shape, cached)
@@ -847,7 +853,7 @@ class OcrEngine:
         # immediately at the previous batch's bucket and count + results come
         # back in ONE combined fetch; a too-small guess falls back to a
         # correctly-sized second recognition pass in _finalize.
-        spec = self._spec_bucket if self._spec_batch == b else None
+        spec = self._spec.get((b, h, w, c))
         rec = None
         if spec is not None:
             with jax.profiler.TraceAnnotation("tuatara_recognize"):
@@ -881,7 +887,7 @@ class OcrEngine:
         total = sum(spans)
         results: List[List[Dict]] = [[] for _ in range(b_real)]
         if total == 0:
-            self._spec_bucket, self._spec_batch = None, None
+            self._spec.pop((b, st["h"], st["w"], st["c"]), None)
             self.last_timings = {
                 "detect_s": t1 - t0, "recognize_s": 0.0, "decode_s": 0.0,
                 # A speculative pass dispatched for a zero-box batch was
@@ -912,7 +918,7 @@ class OcrEngine:
                 ids_d, conf_d = self._run_recognition(
                     det, bucket, b, st["h"], st["w"], st["c"], st["images_d"])
                 ids, conf = jax.device_get((ids_d, conf_d))
-        self._spec_bucket, self._spec_batch = bucket, b
+        self._spec[(b, st["h"], st["w"], st["c"])] = bucket
         t2 = time.perf_counter()
 
         with jax.profiler.TraceAnnotation("tuatara_decode"):
