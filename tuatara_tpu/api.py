@@ -168,6 +168,23 @@ class OcrEngine:
                 f"persist it via save_weights_dir(..., charset=...)"
             )
 
+        # Crop-geometry consistency: the crop program resizes every box to
+        # (rec_height, rec_width); the recognizer's patch/pos-embed geometry
+        # is ParseqConfig.img_size. A mismatch would feed the encoder a
+        # wrong-length token sequence (shape error deep in the slab program)
+        # — refuse at construction with the fix spelled out.
+        if tuple(self.parseq_config.img_size) != (config.rec_height,
+                                                  config.rec_width):
+            raise ValueError(
+                f"crop/recognizer geometry mismatch: OcrConfig rec_height/"
+                f"rec_width = ({config.rec_height}, {config.rec_width}) but "
+                f"the resolved ParseqConfig.img_size is "
+                f"{tuple(self.parseq_config.img_size)}. Set OcrConfig("
+                f"rec_width=...) to the recognizer's trained crop width "
+                f"(e.g. the half-width serving preset pairs rec_width=64 "
+                f"with weights trained at img_size=(32, 64))."
+            )
+
         if weights_dir:
             craft_p, parseq_p = W.load_weights_dir(weights_dir)
             self.craft_params = jax.device_put(craft_p)
@@ -261,6 +278,7 @@ class OcrEngine:
         self._detect_fns: Dict[Tuple[int, int, int, int], Any] = {}
         self._recognize_fns: Dict[int, Any] = {}
         self._slab_fns: Dict[Tuple[int, int, int], Any] = {}
+        self._unsort_fns: Dict[int, Any] = {}
         self.last_timings: Dict[str, float] = {}
         # Cumulative serving counters since construction / reset_stats():
         # pages, batches, boxes, per-stage seconds, speculation hit/miss.
@@ -504,7 +522,13 @@ class OcrEngine:
         """Lazy crop-extraction program (page-shape keyed, cheap compile).
 
         (images [B,H,W,C] uint8, rects [B,K,4] or corners [B,K,4,2],
-        valid [B,K]) -> crops [bucket, rec_h, rec_w, 3] in [0,1].
+        valid [B,K]) -> (crops [bucket, rec_h, rec_w, 3] in [0,1],
+        inv [bucket] i32): `inv[j]` is the slab row holding the j-th live
+        crop in (page, slot) raster order — identity when
+        rec_sort_by_width is off, the unsort permutation otherwise (see
+        OcrConfig.rec_sort_by_width; _finalize's span decoding assumes
+        raster order, so sorted slabs are unsorted by _unsort_fn before
+        results leave the device chain).
 
         Crops are extracted ONLY for the live bucket: detection's box budget
         is max_boxes per page, but real pages rarely fill it, so warping all
@@ -528,7 +552,36 @@ class OcrEngine:
         def crop(images, rects, valid):
             if images.ndim == 3:  # [B, H, W] grayscale
                 images = images[..., None]
-            order = jnp.argsort(~valid.reshape(-1), stable=True)[:bucket]
+            flat_valid = valid.reshape(-1)
+            if cfg.rec_sort_by_width:
+                # Sort live crops by aspect ratio (width/height of the
+                # source box ≈ character count at the fixed crop height):
+                # decode tiles become length-homogeneous so the fused
+                # kernel's tile-level early exit stops at each tile's own
+                # max length. Invalid slots sort last (key = +inf), same
+                # as the raster path's argsort(~valid).
+                if rotated:
+                    c = rects.reshape(b * k, 4, 2)
+                    e1 = jnp.sum((c[:, 1] - c[:, 0]) ** 2, axis=-1)
+                    e2 = jnp.sum((c[:, 2] - c[:, 1]) ** 2, axis=-1)
+                    aspect = (jnp.maximum(e1, e2)
+                              / jnp.maximum(jnp.minimum(e1, e2), 1.0))
+                else:
+                    r = rects.reshape(b * k, 4)
+                    aspect = ((r[:, 2] - r[:, 0])
+                              / jnp.maximum(r[:, 3] - r[:, 1], 1.0))
+                key = jnp.where(flat_valid, aspect, jnp.inf)
+                order = jnp.argsort(key, stable=True)[:bucket]
+                # inv[j] = sorted-slab row of the j-th raster-order live
+                # crop (scatter sorted ranks to flat slots, gather by the
+                # raster order _finalize decodes in).
+                rank = jnp.zeros((b * k,), jnp.int32).at[order].set(
+                    jnp.arange(bucket, dtype=jnp.int32))
+                raster = jnp.argsort(~flat_valid, stable=True)[:bucket]
+                inv = rank[raster]
+            else:
+                order = jnp.argsort(~flat_valid, stable=True)[:bucket]
+                inv = jnp.arange(bucket, dtype=jnp.int32)
             if rotated:
                 # Direct batched gather — no [bucket,H,W,C] source-page
                 # materialization (see extract_crops_perspective_batched).
@@ -548,7 +601,7 @@ class OcrEngine:
 
                 crops = jax.lax.with_sharding_constraint(
                     crops, NamedSharding(self.mesh, P("dp")))
-            return crops
+            return crops, inv
 
         if self.mesh is None:
             fn = jax.jit(crop)
@@ -560,19 +613,43 @@ class OcrEngine:
         self._slab_fns[key] = fn
         return fn
 
+    def _unsort_fn(self, bucket: int):
+        """Tiny permutation program: sorted-slab results -> raster order.
+
+        Row j of the returned (ids, conf) is the j-th live crop in
+        (page, slot) raster order — what _finalize's span decoding
+        assumes. Cached per bucket; dispatch cost is a [bucket, T] int
+        gather (<0.1 ms)."""
+        if bucket in self._unsort_fns:
+            return self._unsort_fns[bucket]
+        fn = jax.jit(lambda ids, conf, inv: (jnp.take(ids, inv, axis=0),
+                                             jnp.take(conf, inv, axis=0)))
+        self._unsort_fns[bucket] = fn
+        return fn
+
     def _crop_recognize_fn(self, b: int, k: int, bucket: int,
                            h: int, w: int, channels: int):
-        """Lazy-crop + recognition: TWO chained dispatches, no host sync.
+        """Lazy-crop + recognition: chained dispatches, no host sync.
 
         Kept as separate programs so the expensive PARSEQ compile is keyed
         by bucket only — mixed page shapes reuse it and recompile just the
         cheap crop program (a fused single program would recompile the
-        recognizer per page shape)."""
+        recognizer per page shape). With rec_sort_by_width a third tiny
+        dispatch unsorts the results back to raster order."""
         cropf = self._crop_fn(b, k, bucket, h, w, channels)
         recf = self._recognize_fn(bucket)
+        if not self.config.rec_sort_by_width:
+            def run(params, images, rects, valid):
+                crops, _ = cropf(images, rects, valid)
+                return recf(params, crops)
+
+            return run
+        unsf = self._unsort_fn(bucket)
 
         def run(params, images, rects, valid):
-            return recf(params, cropf(images, rects, valid))
+            crops, inv = cropf(images, rects, valid)
+            ids, conf = recf(params, crops)
+            return unsf(ids, conf, inv)
 
         return run
 
@@ -669,7 +746,7 @@ class OcrEngine:
                 det = self._detect_fn(b, h, w, c)(cp, imgs)
                 bucket = self._bucket(
                     min(max(cfg.rec_buckets), b * cfg.max_boxes))
-                crops = self._crop_fn(b, cfg.max_boxes, bucket, h, w, c)(
+                crops, _ = self._crop_fn(b, cfg.max_boxes, bucket, h, w, c)(
                     imgs, det["rects"], det["valid"])
 
                 rec_stats.append(rec_fwd(crops))
@@ -1087,6 +1164,7 @@ class OcrEngine:
         self._detect_fns.clear()
         self._recognize_fns.clear()
         self._slab_fns.clear()
+        self._unsort_fns.clear()
         self._closed = True
 
     def _check_open(self) -> None:

@@ -149,6 +149,16 @@ class OcrConfig:
     # fallbacks when batch box counts vary. Best for steady dense loads.
     rec_slab_multiple: Optional[int] = None
 
+    # Order recognition-slab rows by box aspect ratio (≈ character count)
+    # instead of (page, slot) raster order. A PURE PERMUTATION — results
+    # are unsorted back to raster order on device, so outputs are
+    # bit-identical — but it makes each decode tile length-homogeneous,
+    # which is what the fused decode kernel's TILE-level early exit
+    # (ops/pallas/decode.py, 32-crop tiles) needs to stop at the tile's
+    # own max word length instead of the whole slab's length mix. No-op
+    # for accuracy; pays on trained weights with decode_impl="pallas".
+    rec_sort_by_width: bool = True
+
     # ---- Channel-order parity (SURVEY.md quirk 1) ----
     # The reference feeds its two models *different* channel orders: the full
     # image is swapped once before CRAFT (tuatara.cpp:349) and each crop is

@@ -107,18 +107,21 @@ def word_pool(
     charset: Optional[str] = None,
     out: Optional[Dict[str, np.ndarray]] = None,
     start: int = 0,
+    width: int = 128,
 ) -> Dict[str, np.ndarray]:
     """Render n TrueType word crops into a compact uint8-grayscale pool:
-    {"crops_u8" [n,32,128] uint8, "labels" [n,L+2] i32, "lengths" [n] i32}.
+    {"crops_u8" [n,32,width] uint8, "labels" [n,L+2] i32, "lengths" [n] i32}.
 
     12x smaller than `word_batch`'s float RGB output — the format the
     production trainer keeps host-side and refreshes from a background
     thread (scripts/train_production.py). Pass `out` (+ `start`) to
-    overwrite rows of an existing pool in place (the refresher path)."""
+    overwrite rows of an existing pool in place (the refresher path).
+    `width` follows the serving crop geometry (OcrConfig.rec_width /
+    ParseqConfig.img_size — e.g. 64 for the half-width serving preset)."""
     pool_chars = charset or tokenizer.charset[:62]
     if out is None:
         out = {
-            "crops_u8": np.zeros((n, 32, 128), np.uint8),
+            "crops_u8": np.zeros((n, 32, width), np.uint8),
             "labels": np.zeros((n, max_length + 2), np.int32),
             "lengths": np.zeros((n,), np.int32),
         }
@@ -128,7 +131,7 @@ def word_pool(
                        for j in rng.integers(0, len(pool_chars), k))
         ids, ln = tokenizer.encode(text, max_length)
         j = start + i
-        out["crops_u8"][j] = render_word_gray(text, rng)
+        out["crops_u8"][j] = render_word_gray(text, rng, width=width)
         out["labels"][j] = ids
         out["lengths"][j] = ln
     return out
@@ -214,10 +217,11 @@ def word_batch(
     charset: Optional[str] = None,
     tight: bool = False,
     style: str = "bitmap",
+    width: int = 128,
 ) -> Dict[str, np.ndarray]:
     """Random word crops + encoded labels for PARSEQ training.
 
-    Returns {"crops" [n,32,128,3], "labels" [n,max_length+2],
+    Returns {"crops" [n,32,width,3], "labels" [n,max_length+2],
     "lengths" [n], "texts" list[str]}.
     """
     # Default pool: alphanumerics (robust to tiny-font rendering).
@@ -228,7 +232,8 @@ def word_batch(
         text = "".join(pool[int(i)] for i in rng.integers(0, len(pool), k))
         ids, ln = tokenizer.encode(text, max_length)
         texts.append(text)
-        crops.append(render_word(text, rng, tight=tight, style=style))
+        crops.append(render_word(text, rng, tight=tight, style=style,
+                                 width=width))
         labels.append(ids)
         lengths.append(ln)
     return {
