@@ -308,3 +308,27 @@ def test_engine_cache_lru_eviction_and_close():
     finally:
         api.ENGINE_CACHE_MAX = old_max
         api.clear_engines()
+
+
+def test_sorted_slab_results_identical(rng):
+    """rec_sort_by_width is a pure permutation: an engine serving
+    aspect-sorted recognition slabs (the default, feeding the fused decode
+    kernel's tile-level early exit) must return element-wise IDENTICAL
+    results to the raster-ordered path — same weights, same pages, boxes
+    of mixed aspect ratios so the sort actually reorders."""
+    img = np.full((2, 96, 120, 3), 255, np.uint8)
+    # Wide, medium, and near-square dark regions => mixed box aspects.
+    img[:, 10:18, 5:115] = 0     # aspect ~13.8
+    img[:, 30:42, 20:50] = 0     # aspect ~2.5
+    img[:, 60:80, 60:82] = 0     # aspect ~1.1
+    img += rng.integers(0, 8, img.shape).astype(np.uint8)
+    import dataclasses
+
+    sorted_eng = OcrEngine(TINY_OCR, TINY_CRAFT, TINY_PARSEQ, seed=0)
+    raster_eng = OcrEngine(
+        dataclasses.replace(TINY_OCR, rec_sort_by_width=False),
+        TINY_CRAFT, TINY_PARSEQ, seed=0)
+    want = raster_eng.run_pages(img)
+    got = sorted_eng.run_pages(img)
+    assert any(len(r) >= 2 for r in want), "need multi-box pages"
+    assert got == want

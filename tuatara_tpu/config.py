@@ -197,6 +197,39 @@ class OcrConfig:
         base.update(overrides)
         return cls(**base)
 
+    @classmethod
+    def production(cls, **overrides) -> "OcrConfig":
+        """Fast dense-serving preset: the composed configuration that wins
+        the single-chip throughput measurements (bench headline since
+        round 5; scripts/profile_composed.py has the stage attribution).
+
+        Composition: calibrated-int8 detector (`quantized_serving=True` —
+        run `engine.calibrate(sample_pages)` once at startup or ship a
+        calibration.npz next to the weights), bf16 Pallas recognizer
+        kernels (fused ViT blocks + fused greedy decode with tile-level
+        early exit), exact-fit /32 detect canvas (one compiled program per
+        distinct page geometry), 64-granularity recognition slabs, and
+        aspect-sorted decode tiles (default-on).
+
+        NOT bit-parity with the reference fp32 math: int8 detection is
+        threshold-robust but threshold-adjacent boxes can differ, and the
+        Pallas kernels are bf16-class divergent. Measured deltas on
+        trained weights live in evals/parity_production.json. For parity
+        work use DEFAULT_CONFIG (or compute_dtype="float32").
+
+        The Pallas kernels are TPU-only; on other backends the preset
+        keeps the XLA lowerings (reads the ambient default backend, like
+        `latency()`)."""
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
+        base = dict(quantized_serving=True, canvas_bucket=32,
+                    rec_slab_multiple=64,
+                    encoder_impl="pallas" if on_tpu else None,
+                    decode_impl="pallas" if on_tpu else None)
+        base.update(overrides)
+        return cls(**base)
+
     @property
     def heatmap_size(self) -> Tuple[int, int]:
         s = self.canvas_size // self.ratio_net
