@@ -80,6 +80,12 @@ def main() -> int:
                                       decode_impl="pallas"),
         "int8_dynamic": dataclasses.replace(cfg, quantized_serving=True),
         "nar": dataclasses.replace(cfg, decode_mode="nar"),
+        # The shipped fast preset (bench headline): calibrated-int8
+        # detector + Pallas kernels + sorted slabs, at this eval's page
+        # geometry. THIS row is the accuracy evidence config.production()
+        # cites.
+        "production": OcrConfig.production(
+            canvas_size=256, max_boxes=32, rec_buckets=(32,)),
     }
     ref_eng = OcrEngine(engines["xla"], weights_dir=args.weights)
     held = synthetic_text_pages(args.pages, ref_eng.tokenizer,
@@ -99,6 +105,8 @@ def main() -> int:
         try:
             eng = (ref_eng if name == "xla"
                    else OcrEngine(c, weights_dir=args.weights))
+            if name == "production":  # int8_dynamic stays dynamic
+                eng.calibrate(np.stack(imgs))
             scores = evaluate_engine(eng, imgs, held["truths"],
                                      iou_threshold=0.5)
             tr = transcripts(eng, imgs)
