@@ -14,11 +14,14 @@ REAL detection program every batch and substitutes the fixture's box
 geometry for its outputs so the recognition load is pinned at this page's
 trained-detector output (the reference's workload is its per-component
 loop over every detected word, tuatara.cpp:409-418,450-475). The headline
-ENGINE serves `OcrConfig.production()` — calibrated-int8 detector + bf16
-Pallas recognizer kernels + exact-fit canvas + aspect-sorted slabs, the
-shipped fast preset; its measured accuracy trades vs the fp32/XLA parity
-path are in evals/parity_production.json. Continuity rows:
-`dense_bf16_pallas_*` (round-4 headline config, no int8) and
+ENGINE serves `OcrConfig.production(rec_width=64)` on the committed
+width-64-finetuned weights (evals/production_weights_w64) — calibrated-int8
+detector + bf16 Pallas recognizer kernels + exact-fit canvas + aspect-sorted
+slabs + 64-wide recognition crops (held-out accuracy measured neutral vs
+full width: evals/production_w64_eval.json); accuracy trades vs the
+fp32/XLA parity path are in evals/parity_production.json. Continuity rows:
+`production_fullwidth_*` (rec_width=128 production(), the reference's crop
+geometry), `dense_bf16_pallas_*` (round-4 headline config, no int8) and
 `dense_*_xla_encoder` (pre-pallas). The sparse number — the default
 engine's own un-forced detection on this scan (~39 boxes/page with the
 committed synthetic-trained weights, whose domain is clean renders; ~1
@@ -272,14 +275,17 @@ def main() -> int:
     # --- DENSE end-to-end pages/sec (the headline): real detection, and
     # recognition forced to the fixture's 116-box/page geometry — the load
     # trained weights produce on this page. Pipelined serving loop. The
-    # headline engine serves OcrConfig.production() — the shipped fast
-    # preset: calibrated-int8 detector + bf16 Pallas recognizer kernels +
-    # exact-fit /32 canvas + aspect-sorted 64-granularity slabs
-    # (config.py documents the composition and its measured accuracy
-    # trades; evals/parity_production.json quantifies them on trained
-    # weights). The bf16-kernel config (the round-4 headline) and the
-    # XLA-encoder config are recorded alongside as dense_bf16_pallas_* /
-    # dense_*_xla_encoder for round-over-round continuity. Every stream
+    # headline engine serves OcrConfig.production(rec_width=64) on the
+    # width-64-finetuned weights — the shipped fast preset:
+    # calibrated-int8 detector + bf16 Pallas recognizer kernels +
+    # exact-fit /32 canvas + aspect-sorted 64-granularity slabs + 64-wide
+    # recognition crops (config.py documents the composition and its
+    # measured accuracy trades; evals/parity_production.json +
+    # evals/production_w64_eval.json quantify them on trained weights).
+    # Full-width production(), the bf16-kernel config (round-4 headline)
+    # and the XLA-encoder config are recorded alongside as
+    # production_fullwidth_* / dense_bf16_pallas_* / dense_*_xla_encoder
+    # for round-over-round continuity. Every stream
     # iteration gets a DISTINCT page batch (see _queued_ms's hardening
     # note: re-running identical inputs can be served from cache). ---
     from tuatara_tpu.config import OcrConfig, ParseqConfig
@@ -293,8 +299,29 @@ def main() -> int:
     pallas_cfg = dataclasses.replace(DEFAULT_CONFIG, encoder_impl="pallas",
                                      decode_impl="pallas",
                                      rec_slab_multiple=64)
-    dense = _dense_engine(OcrEngine, forced)(OcrConfig.production(),
-                                             weights_dir=weights_dir)
+    # Headline serving point: production(rec_width=64) on the committed
+    # width-64-finetuned weights when they exist — 64 ViT tokens/crop
+    # instead of 128, ~2x fewer encoder FLOPs at measured-neutral held-out
+    # accuracy (e2e word-acc 89.1% vs 87.5% full-width, F1 1.0 both;
+    # evals/production_w64_eval.json). Full-width production() stays as
+    # the production_fullwidth_* continuity rows below. TUATARA_WEIGHTS
+    # (converted reference checkpoints) is trained at 128 wide and cannot
+    # serve the 64-wide geometry, so it keeps the full-width headline.
+    from tuatara_tpu.utils.weights import weights_available as _wavail
+
+    w64_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "evals", "production_weights_w64")
+    headline_cfg, headline_weights = OcrConfig.production(), weights_dir
+    if (not os.environ.get("TUATARA_WEIGHTS")) and _wavail(w64_dir):
+        headline_cfg = OcrConfig.production(rec_width=64)
+        headline_weights = w64_dir
+    extras["headline_weights"] = (os.path.relpath(headline_weights)
+                                  if headline_weights else "random-init")
+    extras["headline_config"] = (
+        "OcrConfig.production(rec_width=64)"
+        if headline_weights == w64_dir else "OcrConfig.production()")
+    dense = _dense_engine(OcrEngine, forced)(headline_cfg,
+                                             weights_dir=headline_weights)
     dense.calibrate(pages)  # freeze static int8 activation scales
     dense.run_pages(pages)  # compile detect + dense crop/recognize slab
     dense.run_pages(pages)  # steady-state speculation
@@ -622,31 +649,25 @@ def main() -> int:
                             prefetch=4, depth=2)
         extras["dense_bf16_pallas_e2e_pages_per_sec"] = round(v, 3)
 
-    def production_w64():
-        # The half-width recognition preset: production() + rec_width=64
-        # crops (64 ViT tokens instead of 128 — ~2x fewer encoder FLOPs)
-        # on the width-64-finetuned weights (scripts/train_width64.py;
-        # held-out accuracy vs the full-width model is recorded in
-        # evals/production_w64_eval.json). Skipped when those weights are
-        # absent (setup.sh-converted reference checkpoints are trained at
-        # 128 wide and cannot serve this geometry).
-        w64 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "evals", "production_weights_w64")
-        from tuatara_tpu.utils.weights import weights_available
-
-        if not weights_available(w64):
-            extras["production_w64_skipped"] = "no width-64 weights"
+    def production_fullwidth():
+        # Full-width (rec_width=128) production() on the full-width
+        # production weights — the crop geometry the reference serves
+        # (tuatara.cpp:440) and the continuity row for the pre-w64
+        # headline. Skipped when it IS the headline (w64 weights absent),
+        # in which case the headline already records it.
+        if headline_weights != w64_dir:
+            extras["production_fullwidth_skipped"] = "is the headline"
             return
-        ccfg = OcrConfig.production(rec_width=64)
-        ceng = _dense_engine(OcrEngine, forced)(ccfg, weights_dir=w64)
+        ceng = _dense_engine(OcrEngine, forced)(OcrConfig.production(),
+                                                weights_dir=weights_dir)
         ceng.calibrate(pages)
         ceng.run_pages(pages_dev)
         ceng.run_pages(pages_dev)
         v, _ = _best_stream(ceng, dev_batches[:6], repeats=2, depth=2)
-        extras["production_w64_dense_compute_pages_per_sec"] = round(v, 3)
+        extras["production_fullwidth_dense_compute_pages_per_sec"] = round(v, 3)
         v, _ = _best_stream(ceng, dense_batches, repeats=2,
                             prefetch=4, depth=2)
-        extras["production_w64_dense_e2e_pages_per_sec"] = round(v, 3)
+        extras["production_fullwidth_dense_e2e_pages_per_sec"] = round(v, 3)
 
     extra("sparse_e2e", sparse_e2e)
     extra("dense_xla_encoder", dense_xla_encoder)
@@ -664,7 +685,7 @@ def main() -> int:
     extra("beam", beam)
     extra("quantized", quantized)
     extra("dense_bf16_pallas", dense_bf16_pallas)
-    extra("production_w64", production_w64)
+    extra("production_fullwidth", production_fullwidth)
 
     print(json.dumps({
         "metric": "funsd_pages_per_sec_dense_e2e",

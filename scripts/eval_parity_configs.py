@@ -86,7 +86,17 @@ def main() -> int:
         # cites.
         "production": OcrConfig.production(
             canvas_size=256, max_boxes=32, rec_buckets=(32,)),
+        # The round-5 bench headline: production() + rec_width=64 on the
+        # width-64-finetuned weights (a DIFFERENT finetuned model, so
+        # transcript agreement vs xla is informative, not a kernel-parity
+        # bound — the ground-truth word_acc/f1 row is the accuracy
+        # evidence; evals/production_w64_eval.json has the held-out
+        # training eval).
+        "production_w64": OcrConfig.production(
+            rec_width=64, canvas_size=256, max_boxes=32, rec_buckets=(32,)),
     }
+    w64_weights = os.path.join(REPO, "evals", "production_weights_w64")
+    per_name_weights = {"production_w64": w64_weights}
     ref_eng = OcrEngine(engines["xla"], weights_dir=args.weights)
     held = synthetic_text_pages(args.pages, ref_eng.tokenizer,
                                 np.random.default_rng(888), size=256,
@@ -104,8 +114,9 @@ def main() -> int:
     for name, c in engines.items():
         try:
             eng = (ref_eng if name == "xla"
-                   else OcrEngine(c, weights_dir=args.weights))
-            if name == "production":  # int8_dynamic stays dynamic
+                   else OcrEngine(c, weights_dir=per_name_weights.get(
+                       name, args.weights)))
+            if name.startswith("production"):  # int8_dynamic stays dynamic
                 eng.calibrate(np.stack(imgs))
             scores = evaluate_engine(eng, imgs, held["truths"],
                                      iou_threshold=0.5)

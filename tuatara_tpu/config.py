@@ -219,7 +219,18 @@ class OcrConfig:
 
         The Pallas kernels are TPU-only; on other backends the preset
         keeps the XLA lowerings (reads the ambient default backend, like
-        `latency()`)."""
+        `latency()`).
+
+        `production(rec_width=64)` is the shipped fast serving point
+        (bench headline since round 5): 64-wide recognition crops halve
+        the ViT token count (~2x fewer encoder FLOPs) and require
+        width-64-finetuned weights (scripts/train_width64.py;
+        evals/production_weights_w64). Held-out accuracy is measured
+        neutral vs full width (evals/production_w64_eval.json: e2e
+        word-acc 89.1% vs 87.5%, F1 1.0 both); the engine refuses a
+        rec_width that disagrees with the weights' stored img_size at
+        construction. Weights trained at 128 wide (e.g. converted
+        reference checkpoints) must keep the default rec_width."""
         import jax
 
         on_tpu = jax.default_backend() == "tpu"
