@@ -221,12 +221,22 @@ def extract_crops_perspective_batched(
     y1 = jnp.clip(y0 + 1, 0, H - 1)
     flat = images.reshape(B * H * W, C)
     base = page[:, None, None].astype(jnp.int32) * H
+    # Materialize the four flat index vectors behind an optimization
+    # barrier before gathering. Without it XLA fuses the whole index
+    # computation (corner lerp, floor, clip, flatten) into each gather's
+    # operand chain and the lowering degrades ~6x off the gather roofline
+    # (measured 692 -> 117 ms per 256-crop dense batch, bit-identical
+    # output; evals/perspective_profile.json has the roofline
+    # attribution: a pure 4-tap jnp.take over precomputed indices costs
+    # ~118 ms, so the barriered form IS the gather bound).
+    idx4 = jax.lax.optimization_barrier(
+        tuple(((base + yy) * W + xx).reshape(-1)
+              for yy, xx in ((y0, x0), (y0, x1), (y1, x0), (y1, x1))))
 
-    def at(yy, xx):
-        idx = (base + yy) * W + xx
-        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(
+    def at(idx):
+        return jnp.take(flat, idx, axis=0).reshape(
             K, out_h, out_w, C).astype(jnp.float32)
 
-    top = at(y0, x0) * (1 - wx) + at(y0, x1) * wx
-    bot = at(y1, x0) * (1 - wx) + at(y1, x1) * wx
+    top = at(idx4[0]) * (1 - wx) + at(idx4[1]) * wx
+    bot = at(idx4[2]) * (1 - wx) + at(idx4[3]) * wx
     return (top * (1 - wy) + bot * wy) / 255.0
